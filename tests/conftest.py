@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharding tests need multiple devices; the build machine has at most one real
+TPU chip, so all tests run on the XLA CPU backend with 8 virtual devices
+(SURVEY.md §4: multi-host tests on a CPU mesh).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
