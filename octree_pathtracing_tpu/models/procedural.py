@@ -1,0 +1,181 @@
+"""Procedural test scenes matching BASELINE.json's config list.
+
+Configs (``/root/repo/BASELINE.json``):
+1. sphere + textured ground (earthmap-style checker fallback when no asset)
+2. Cornell box voxelized to a depth-6 octree
+3. Minecraft-style chunk with emissive blocks
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..octree.build import build_from_dense
+from ..ops.texture import build_atlas
+from .camera import Camera
+from .materials import (
+    FLAG_OPAQUE,
+    FLAG_SOLID,
+    air,
+    make_material_table,
+)
+from .scene import Scene, make_scene
+from .sun import make_sun
+
+
+def _checker_texture(size=16, c0=(200, 60, 60), c1=(240, 230, 210)):
+    img = np.zeros((size, size, 4), np.uint8)
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    m = ((yy // 4) + (xx // 4)) % 2 == 0
+    img[m] = (*c0, 255)
+    img[~m] = (*c1, 255)
+    return img
+
+
+def _solid_texture(rgb, size=16):
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., :3] = rgb
+    img[..., 3] = 255
+    return img
+
+
+def _earthmap_like(size=16):
+    """Blue/green blobby texture standing in for earthmap.jpg when the asset
+    is unavailable (upstream test assets are gitignored, SURVEY.md §4)."""
+    rng = np.random.default_rng(0)
+    img = np.zeros((size, size, 4), np.uint8)
+    base = rng.random((size, size))
+    land = base > 0.55
+    img[..., 2] = np.where(land, 40, 180)
+    img[..., 1] = np.where(land, 160, 80)
+    img[..., 0] = np.where(land, 60, 30)
+    img[..., 3] = 255
+    return img
+
+
+def sphere_scene(depth: int = 6, earthmap: np.ndarray | None = None):
+    """Config 1: voxelized sphere above a textured ground slab."""
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    # ground slab: material 1
+    grid[:, 0 : max(1, s // 16), :] = 1
+    # sphere: material 2, radius s/4 centered mid-air
+    c = np.array([s / 2, s / 2.5, s / 2])
+    r = s / 4.5
+    xs, ys, zs = np.meshgrid(np.arange(s), np.arange(s), np.arange(s), indexing="ij")
+    inside = (xs + 0.5 - c[0]) ** 2 + (ys + 0.5 - c[1]) ** 2 + (zs + 0.5 - c[2]) ** 2 < r * r
+    grid[inside] = 2
+    tree = build_from_dense(grid)
+
+    textures = [
+        _solid_texture((255, 0, 255)),  # 0: default magenta (texture.rs:49)
+        _earthmap_like() if earthmap is None else earthmap,  # ground
+        _checker_texture(),  # sphere
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2, specular=0.0),
+    ]
+    scene = make_scene(tree, make_material_table(materials), build_atlas(textures))
+    camera = Camera.look_at(
+        eye=(s * 0.5, s * 0.55, -s * 0.9), center=(s * 0.5, s * 0.35, s * 0.5)
+    )
+    return scene, camera
+
+
+def cornell_scene(depth: int = 6):
+    """Config 2: Cornell box — white floor/ceiling/back, red/green walls,
+    emissive ceiling patch, two boxes."""
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    W, R, G, L, B1, B2 = 1, 2, 3, 4, 5, 6
+    grid[:, 0, :] = W  # floor
+    grid[:, s - 1, :] = W  # ceiling
+    grid[:, :, s - 1] = W  # back wall
+    grid[0, :, :] = R  # left red
+    grid[s - 1, :, :] = G  # right green
+    q = s // 4
+    grid[s // 2 - q // 2 : s // 2 + q // 2, s - 1, s // 2 - q // 2 : s // 2 + q // 2] = L
+    # tall box
+    grid[q : q + q // 1, 1 : s // 2, s // 2 : s // 2 + q] = 0  # carve nothing; place below
+    grid[q : 2 * q, 1 : s // 2, s // 2 : s // 2 + q] = B1
+    # short box
+    grid[s - 2 * q : s - q, 1 : s // 4, q : 2 * q] = B2
+    tree = build_from_dense(grid)
+
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((230, 230, 230)),  # white
+        _solid_texture((200, 40, 40)),  # red
+        _solid_texture((40, 200, 40)),  # green
+        _solid_texture((255, 255, 255)),  # light
+        _solid_texture((180, 180, 200)),
+        _solid_texture((200, 180, 160)),
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2),
+        dict(texture_index=3),
+        dict(texture_index=4, emittance=8.0),
+        dict(texture_index=5),
+        dict(texture_index=6),
+    ]
+    # sun off-ish: interior box lit by the emissive patch
+    sun = make_sun(altitude=-np.pi / 3)
+    scene = make_scene(tree, make_material_table(materials), build_atlas(textures), sun=sun)
+    camera = Camera.look_at(
+        eye=(s * 0.5, s * 0.5, -s * 1.2), center=(s * 0.5, s * 0.5, s * 0.5)
+    )
+    return scene, camera
+
+
+def minecraft_chunk_scene(depth: int = 5, seed: int = 0):
+    """Config 3: Minecraft-ish terrain chunk — grass/dirt/stone heightfield,
+    scattered emissive glowstone, a water pool."""
+    rng = np.random.default_rng(seed)
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    GRASS, DIRT, STONE, GLOW, WATER = 1, 2, 3, 4, 5
+    hx = np.linspace(0, 3.0, s)
+    hz = np.linspace(0, 2.0, s)
+    height = (
+        s // 3
+        + (np.sin(hx)[:, None] * 3 + np.cos(hz)[None, :] * 2 + rng.normal(0, 0.5, (s, s)))
+    ).astype(int).clip(2, s - 2)
+    for x in range(s):
+        for z in range(s):
+            h = height[x, z]
+            grid[x, : h - 2, z] = STONE
+            grid[x, h - 2 : h, z] = DIRT
+            grid[x, h, z] = GRASS
+    # glowstone
+    for _ in range(max(2, s // 4)):
+        x, z = rng.integers(0, s, 2)
+        grid[x, height[x, z] + 2, z] = GLOW
+    # water pool
+    grid[s // 4 : s // 2, s // 3 - 1 : s // 3 + 1, s // 4 : s // 2] = WATER
+    tree = build_from_dense(grid)
+
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((60, 180, 60)),
+        _solid_texture((134, 96, 67)),
+        _solid_texture((130, 130, 130)),
+        _solid_texture((255, 220, 120)),
+        _solid_texture((50, 90, 220)),
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2),
+        dict(texture_index=3),
+        dict(texture_index=4, emittance=6.0),
+        dict(texture_index=5, ior=1.33, specular=0.1, flags=FLAG_OPAQUE | FLAG_SOLID),
+    ]
+    scene = make_scene(tree, make_material_table(materials), build_atlas(textures))
+    camera = Camera.look_at(
+        eye=(-s * 0.4, s * 0.8, -s * 0.4), center=(s * 0.5, s * 0.3, s * 0.5)
+    )
+    return scene, camera

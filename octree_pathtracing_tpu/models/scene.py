@@ -1,0 +1,118 @@
+"""Scene pytree — octree + material table + texture atlas + sun + strategies.
+
+TPU-native form of the reference ``Scene`` struct
+(``/root/reference/src/scene/mod.rs:146-156``): every component is a device
+array in one pytree passed whole into jitted render steps ("bind groups" of
+the GPU renderer become pytree leaves).  Sampling strategies are static
+Python flags (they select code paths at trace time, exactly like the
+reference's strategy constants ``scene/mod.rs:39-127``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..octree.node_pool import Octree
+from .materials import MaterialTable
+from .sun import Sun, SunSampling, make_sun
+
+MAX_DIST = 1024.0  # scene/mod.rs:181
+F_SUB_SURFACE_DEFAULT = 0.3
+
+
+class EmitterSampling:
+    """Emitter sampling strategies (``scene/mod.rs:39-57``)."""
+
+    NONE = "none"
+    ONE = "one"
+    ONE_BLOCK = "one_block"
+    ALL = "all"
+
+
+@dataclasses.dataclass
+class Scene:
+    octree: Octree
+    materials: MaterialTable
+    atlas: Any  # (T, H, W, 4) linear float32
+    sun: Sun
+    # leaf_value -> material id map (uint32); identity when leaves are material ids
+    leaf_material: Any  # (L,) int32
+    sun_sampling: SunSampling = dataclasses.field(default_factory=SunSampling.importance)
+    emitter_sampling: str = EmitterSampling.NONE
+    emitters_enabled: bool = True
+    f_sub_surface: float = F_SUB_SURFACE_DEFAULT
+
+    def tree_flatten(self):
+        return (self.octree, self.materials, self.atlas, self.sun, self.leaf_material), (
+            self.sun_sampling,
+            self.emitter_sampling,
+            self.emitters_enabled,
+            self.f_sub_surface,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    Scene, Scene.tree_flatten, lambda aux, ch: Scene.tree_unflatten(aux, ch)
+)
+
+
+def face_normals():
+    """face_id -> outward normal, Face enum layout (``src/geometry/cuboid.rs:10-29``):
+    0 West(-x), 1 East(+x), 2 Bottom(-y), 3 Top(+y), 4 South... note the
+    traversal's z faces map sign-bit style: 4 = -z entry face (North), 5 = +z.
+    We use axis*2|sign with sign=1 for negative ray dir, so: face 0 hit by +x
+    ray = voxel's -x (West) face with normal -x... the *outward* normal the
+    shading needs is the face the ray entered, opposing the ray:
+    normal(face) = -axis_dir if sign==0 else +axis_dir.
+    """
+    return jnp.asarray(
+        np.array(
+            [
+                [-1, 0, 0],  # 0: entered -x face (ray going +x)
+                [1, 0, 0],  # 1: entered +x face (ray going -x)
+                [0, -1, 0],
+                [0, 1, 0],
+                [0, 0, -1],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+    )
+
+
+def make_scene(
+    octree: Octree,
+    materials: MaterialTable,
+    atlas,
+    sun: Sun | None = None,
+    leaf_material=None,
+    **kwargs,
+) -> Scene:
+    if sun is None:
+        sun = make_sun()
+    if leaf_material is None:
+        # leaves hold material ids directly; identity map sized by table
+        leaf_material = jnp.arange(materials.count, dtype=jnp.int32)
+    octree = Octree(
+        child_mask=jnp.asarray(np.asarray(octree.child_mask)),
+        child_data=jnp.asarray(np.asarray(octree.child_data)),
+        root=octree.root,
+        depth=octree.depth,
+    )
+    return Scene(
+        octree=octree,
+        materials=materials,
+        atlas=jnp.asarray(atlas),
+        sun=sun,
+        leaf_material=jnp.asarray(leaf_material, jnp.int32),
+        **kwargs,
+    )

@@ -1,0 +1,49 @@
+"""Flat-shaded preview renderer — the reference's Preview mode.
+
+Pipeline (``/root/reference/src/ray/path_tracer.rs:137-158`` +
+``src/octree/octree_traversal.rs:306-535`` +
+``src/scene/mod.rs:447-452``): primary traversal, leaf hit takes the leaf
+material's texture forced opaque, shaded by ``max(AMBIENT, n . sun_dir)`` times
+sun emittance; misses draw sky + the sun's angular window.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.camera import Camera, pixel_grid_rays
+from ..models.scene import Scene, face_normals
+from ..models.sun import add_sun_color, flat_shading, sky_color
+from ..ops.texture import sample_atlas
+from ..ops.traversal import traverse
+
+
+def preview_render_rays(scene: Scene, origins, directions):
+    """Preview-shade a ray batch; returns (B, 3) linear RGB."""
+    tree = scene.octree
+    res = traverse(
+        tree.child_mask,
+        tree.child_data,
+        tree.root,
+        tree.scale(),
+        origins,
+        directions,
+    )
+    mat_id = scene.leaf_material[
+        jnp.clip(res.leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
+    ]
+    layer = scene.materials.texture_index[mat_id]
+    albedo = sample_atlas(scene.atlas, layer, res.uv[:, 0], res.uv[:, 1])
+    normals = face_normals()[jnp.clip(res.face_id, 0, 5)]
+    shaded = flat_shading(scene.sun, normals, albedo[:, :3])
+
+    sky = sky_color((origins.shape[0],))
+    sky = add_sun_color(scene.sun, directions, sky)
+    return jnp.where(res.hit[:, None], shaded, sky[:, :3])
+
+
+def preview_image(scene: Scene, camera: Camera, width: int, height: int):
+    """Render a full-frame preview; returns (H, W, 3) linear RGB."""
+    origins, dirs = pixel_grid_rays(camera, width, height)
+    rgb = preview_render_rays(scene, origins, dirs)
+    return rgb.reshape(height, width, 3)
