@@ -65,12 +65,16 @@ def traverse_oracle(
     direction: np.ndarray,
     max_dst: float = 1024.0,
     reject_leaves: set | None = None,
+    accept_fn=None,
 ) -> OracleHit:
     """Trace one ray through the node pool; returns the first accepted leaf.
 
     ``reject_leaves``: optional set of leaf values to skip (models the
     path-tracer falling through to ADVANCE when the leaf model's alpha test
     fails, ``octree_traversal.rs:192-215``).
+    ``accept_fn(leaf_value, face_id, u, v, t_world) -> bool``: optional
+    per-candidate predicate (e.g. texture alpha / null-material test); a
+    rejected candidate falls through to ADVANCE like ``reject_leaves``.
     """
     f32 = np.float32
     ro = (np.asarray(origin, f32) * f32(octree_scale) + f32(1.0)).astype(f32)
@@ -128,7 +132,7 @@ def traverse_oracle(
                 if accepted:
                     # Hit info: entry times of the leaf voxel per axis
                     # (octree_traversal.rs:149-190).
-                    unmirrored_pos = pos.copy()
+                    unmirrored_pos = pos.copy()  # noqa: F841 (set below)
                     for i in range(3):
                         if mirror_mask & (1 << i):
                             unmirrored_pos[i] = f32(3.0) - scale_exp2 - unmirrored_pos[i]
@@ -153,17 +157,20 @@ def traverse_oracle(
                         uu = f32(1.0) - uu
                     if rd[axis] < 0.0 and axis == 1:
                         vv = f32(1.0) - vv
-                    return OracleHit(
-                        True,
-                        t=float(t_min),
-                        face_id=face_id,
-                        u=float(uu),
-                        v=float(vv),
-                        leaf_value=value,
-                        steps=step,
-                        voxel_pos=tuple(float(x) for x in unmirrored_pos),
-                        voxel_size=float(scale_exp2),
-                    )
+                    if accept_fn is None or accept_fn(
+                        value, face_id, float(uu), float(vv), float(t_min) / octree_scale
+                    ):
+                        return OracleHit(
+                            True,
+                            t=float(t_min),
+                            face_id=face_id,
+                            u=float(uu),
+                            v=float(vv),
+                            leaf_value=value,
+                            steps=step,
+                            voxel_pos=tuple(float(x) for x in unmirrored_pos),
+                            voxel_size=float(scale_exp2),
+                        )
                 # rejected: fall through to ADVANCE
             elif not leaf:
                 half = f32(scale_exp2 * f32(0.5))

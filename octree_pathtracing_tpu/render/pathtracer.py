@@ -1,0 +1,316 @@
+"""Wavefront path tracer — the reference's recursive integrator, flattened.
+
+Semantics from ``/root/reference/src/ray/path_tracer.rs``: per hit, one lobe is
+chosen (metal / specular / diffuse / refraction / transmission,
+``path_tracer.rs:69-119``), with sky+sun on miss (``:26-37``), emitter and
+sun-NEE terms in the diffuse lobe (``:190-316``), Fresnel–Schlick refraction
+(``:318-401``) and alpha-tinted transmission (``:403-437``), depth cap 5
+(``:56``).  The recursion becomes an iterative bounce loop over a
+structure-of-arrays lane batch: ``radiance += throughput * emitted`` terms
+accumulate in-place and ``throughput`` absorbs albedo/reweight products — the
+standard wavefront transformation of the recursive estimator.
+
+Null materials (alpha+specular < eps with matching IOR, ``:52-54``) are
+skipped inside the traversal via its accept protocol.
+
+Deviations (all in favor of the evidently-intended math; our NumPy oracle
+implements the same choices — see ``render/oracle.py``):
+- importance-sampling reweights are applied to throughput (the reference
+  computes then discards them, ``path_tracer.rs:293-313``);
+- the Fresnel-reflect branch traces once, not twice (``:363-399`` calls
+  ``path_trace`` on both the reflect and shared tail paths).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.materials import FLAG_REFRACTIVE, FLAG_SUBSURFACE_SCATTER
+from ..models.scene import Scene, EmitterSampling, face_normals, MAX_DIST
+from ..models.sun import (
+    add_sun_color,
+    add_sun_color_diffuse,
+    random_sun_direction,
+    sky_color,
+)
+from ..ops.shading import (
+    EPSILON,
+    OFFSET,
+    N_UNIFORMS,
+    U_METAL,
+    U_SPECULAR,
+    U_DIFFUSE,
+    U_FRESNEL,
+    U_SUBSURFACE,
+    U_SUN1,
+    U_SUN2,
+    diffuse_dir_and_weight,
+    fresnel_schlick,
+    refract_dir,
+    specular_reflect_dir,
+)
+from ..ops.texture import sample_atlas
+from ..ops.traversal import traverse
+
+MAX_BOUNCES = 5  # path_tracer.rs:56
+SHADOW_MAX_SURFACES = 4
+
+
+def _material_of_leaf(scene: Scene, leaf_value):
+    return scene.leaf_material[
+        jnp.clip(leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
+    ]
+
+
+def _albedo_at(scene: Scene, mat_id, uv):
+    layer = scene.materials.texture_index[mat_id]
+    return sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
+
+
+def _null_skip_accept(scene: Scene, cur_mat):
+    """Accept fn reproducing the null-material pass-through
+    (``path_tracer.rs:52-54``): a leaf is invisible when alpha+specular < eps
+    and its IOR matches the medium the lane is currently in."""
+
+    def accept(leaf_value, face_id, uv, t):
+        mat = _material_of_leaf(scene, leaf_value)
+        alpha = _albedo_at(scene, mat, uv)[:, 3]
+        spec = scene.materials.specular[mat]
+        ior1 = scene.materials.ior[mat]
+        ior2 = scene.materials.ior[cur_mat]
+        null = (alpha + spec < EPSILON) & (ior1 == ior2)
+        return ~null
+
+    return accept
+
+
+def _trace(scene: Scene, origins, dirs, cur_mat):
+    tree = scene.octree
+    return traverse(
+        tree.child_mask,
+        tree.child_data,
+        tree.root,
+        tree.scale(),
+        origins,
+        dirs,
+        max_dst=MAX_DIST,
+        accept_fn=_null_skip_accept(scene, cur_mat),
+    )
+
+
+def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
+    """Direct-light attenuation walk (``path_tracer.rs:458-483``).
+
+    Marches the shadow ray through up to SHADOW_MAX_SURFACES alpha surfaces:
+    att.rgb *= albedo*alpha + (1-alpha); att.w *= (1-alpha); strict mode kills
+    the ray on IOR change.  Returns (B, 4) attenuation.
+    """
+    b = origins.shape[0]
+    att = jnp.ones((b, 4), jnp.float32)
+    o = origins
+    cm = cur_mat
+    strict = scene.sun_sampling.strict_direct_light
+    for _ in range(SHADOW_MAX_SURFACES):
+        alive = att[:, 3] > 0.0
+        o = o + dirs * OFFSET
+        res = _trace(scene, o, dirs, cm)
+        hit = res.hit & alive
+        mat = _material_of_leaf(scene, res.leaf_value)
+        albedo = _albedo_at(scene, mat, res.uv)
+        mult = 1.0 - albedo[:, 3]
+        new_rgb = att[:, :3] * (albedo[:, :3] * albedo[:, 3:4] + mult[:, None])
+        new_w = att[:, 3] * mult
+        if strict:
+            ior_change = scene.materials.ior[cm] != scene.materials.ior[mat]
+            new_w = jnp.where(ior_change, 0.0, new_w)
+        att = jnp.where(
+            hit[:, None], jnp.concatenate([new_rgb, new_w[:, None]], -1), att
+        )
+        o = jnp.where(hit[:, None], o + dirs * res.t[:, None], o)
+        cm = jnp.where(hit, mat, cm)
+    return att
+
+
+def trace_paths(scene: Scene, origins, dirs, uniforms):
+    """Trace a lane batch to completion; returns (B, 3) linear radiance.
+
+    ``uniforms``: (B, MAX_BOUNCES, N_UNIFORMS) pre-drawn uniform block (see
+    ``ops/shading.py`` for the slot map).
+    """
+    b = origins.shape[0]
+    normals_lut = face_normals()
+    strat = scene.sun_sampling
+
+    state = dict(
+        origin=origins.astype(jnp.float32),
+        dir=dirs.astype(jnp.float32),
+        throughput=jnp.ones((b, 3), jnp.float32),
+        radiance=jnp.zeros((b, 3), jnp.float32),
+        active=jnp.ones((b,), bool),
+        specular=jnp.ones((b,), bool),
+        cur_mat=jnp.zeros((b,), jnp.int32),
+    )
+
+    for bounce in range(MAX_BOUNCES):
+        state = _bounce(scene, state, uniforms[:, bounce, :], bounce, normals_lut)
+    return state["radiance"]
+
+
+def _bounce(scene: Scene, st, u, bounce, normals_lut):
+    strat = scene.sun_sampling
+    res = _trace(scene, st["origin"], st["dir"], st["cur_mat"])
+
+    active = st["active"]
+    miss = active & ~res.hit
+    hit = active & res.hit
+
+    # ---- sky on miss (path_tracer.rs:26-37) ----
+    d = st["dir"]
+    sky = sky_color((d.shape[0],))
+    sky_specular = add_sun_color(scene.sun, d, sky)[:, :3]
+    if strat.diffuse_sun:
+        sky_diffuse = add_sun_color_diffuse(scene.sun, d, sky)[:, :3]
+    else:
+        sky_diffuse = sky[:, :3]
+    if bounce == 0:  # direct sky hit always draws the sun (path_tracer.rs:26-29)
+        sky_rgb = sky_specular
+    else:
+        sky_rgb = jnp.where(st["specular"][:, None], sky_specular, sky_diffuse)
+    radiance = st["radiance"] + jnp.where(
+        miss[:, None], st["throughput"] * sky_rgb, 0.0
+    )
+
+    # depth cap: ray.hit.depth + 1 >= 5 breaks before scattering
+    # (path_tracer.rs:56-59); bounce index == depth of the ray here.
+    can_scatter = hit & (bounce + 1 < MAX_BOUNCES)
+    new_active = can_scatter
+
+    # ---- hit shading ----
+    mat = _material_of_leaf(scene, res.leaf_value)
+    m = scene.materials
+    albedo = _albedo_at(scene, mat, res.uv)
+    alpha = albedo[:, 3]
+    n = normals_lut[jnp.clip(res.face_id, 0, 5)]
+    hitpoint = st["origin"] + st["dir"] * res.t[:, None]
+
+    metal = m.metalness[mat]
+    spec = m.specular[mat]
+    rough = m.roughness[mat]
+    emit = m.emittance[mat]
+    ior1 = m.ior[mat]
+    ior2 = m.ior[st["cur_mat"]]
+
+    do_metal = (metal > EPSILON) & (u[:, U_METAL] < metal)
+    do_spec = ~do_metal & (spec > EPSILON) & (u[:, U_SPECULAR] < spec)
+    do_diff = ~do_metal & ~do_spec & (u[:, U_DIFFUSE] < alpha)
+    do_refr = (
+        ~do_metal & ~do_spec & ~do_diff & (jnp.abs(ior1 - ior2) >= EPSILON)
+    )
+    do_trans = ~do_metal & ~do_spec & ~do_diff & ~do_refr
+
+    # ---- diffuse lobe ----
+    emit_cond = (
+        do_diff
+        & can_scatter
+        & (emit > EPSILON)
+        & jnp.bool_(
+            scene.emitters_enabled
+            and (scene.emitter_sampling == EmitterSampling.NONE or bounce == 0)
+        )
+    )
+    emit_rgb = albedo[:, :3] * albedo[:, :3] * emit[:, None]  # squared albedo, :207-212
+    radiance = radiance + jnp.where(
+        emit_cond[:, None], st["throughput"] * emit_rgb, 0.0
+    )
+
+    if strat.sun_sampling:
+        sun_dir = random_sun_direction(scene.sun, u[:, U_SUN1], u[:, U_SUN2])
+        front = jnp.sum(sun_dir * n, axis=-1) > 0.0
+        sss = (
+            ((m.flags[mat] & FLAG_SUBSURFACE_SCATTER) != 0)
+            & (u[:, U_SUBSURFACE] < scene.f_sub_surface)
+        )
+        shadow_on = do_diff & can_scatter & (front | sss)
+        shadow_origin = jnp.where(
+            front[:, None], hitpoint, hitpoint - OFFSET * n
+        )
+        att = shadow_attenuation(scene, shadow_origin, sun_dir, st["cur_mat"])
+        lum = scene.sun.luminosity_pdf if strat.sun_luminosity else 1.0
+        mult = jnp.abs(jnp.sum(sun_dir * n, axis=-1)) * lum * att[:, 3]
+        direct = att[:, :3] * mult[:, None]
+        nee = albedo[:, :3] * direct * scene.sun.emittance[None, :3]
+        radiance = radiance + jnp.where(
+            shadow_on[:, None], st["throughput"] * nee, 0.0
+        )
+
+    diff_dir, diff_w = diffuse_dir_and_weight(
+        n, scene.sun, u, strat.importance_sampling
+    )
+    diff_throughput = st["throughput"] * albedo[:, :3] * diff_w[:, None]
+
+    # ---- specular / metal lobe ----
+    spec_dir = specular_reflect_dir(st["dir"], n, rough, u)
+    metal_throughput = st["throughput"] * albedo[:, :3]
+
+    # ---- refraction lobe (path_tracer.rs:318-401) ----
+    refractive = (m.flags[mat] & FLAG_REFRACTIVE) != 0
+    ratio = ior1 / ior2
+    cos_theta = -jnp.sum(st["dir"] * n, axis=-1)
+    radicand = 1.0 - ratio * ratio * (1.0 - cos_theta * cos_theta)
+    tir = refractive & (radicand < EPSILON)
+    refl_p = fresnel_schlick(ior1, ior2, cos_theta)
+    refr_reflect = do_refr & (tir | (u[:, U_FRESNEL] < refl_p))
+    refr_refract = do_refr & ~refr_reflect & refractive
+    refr_pass = do_refr & ~refr_reflect & ~refractive
+    refracted = refract_dir(st["dir"], n, ratio, cos_theta, radicand)
+    tint = albedo[:, :3] * alpha[:, None]
+
+    # ---- merge ----
+    new_dir = st["dir"]
+    new_dir = jnp.where((do_metal | do_spec | refr_reflect)[:, None], spec_dir, new_dir)
+    new_dir = jnp.where(do_diff[:, None], diff_dir, new_dir)
+    new_dir = jnp.where(refr_refract[:, None], refracted, new_dir)
+    # transmission / refr_pass keep the direction
+
+    new_throughput = st["throughput"]
+    new_throughput = jnp.where(do_metal[:, None], metal_throughput, new_throughput)
+    new_throughput = jnp.where(do_diff[:, None], diff_throughput, new_throughput)
+    new_throughput = jnp.where(
+        (refr_refract | refr_pass | do_trans)[:, None],
+        st["throughput"] * tint,
+        new_throughput,
+    )
+
+    new_cur = st["cur_mat"]
+    enters = refr_refract | refr_pass | do_trans
+    new_cur = jnp.where(enters, mat, new_cur)
+
+    new_specular = jnp.where(do_diff, False, st["specular"])
+
+    new_origin = hitpoint + new_dir * OFFSET
+
+    upd = can_scatter
+    return dict(
+        origin=jnp.where(upd[:, None], new_origin, st["origin"]),
+        dir=jnp.where(upd[:, None], new_dir, st["dir"]),
+        throughput=jnp.where(upd[:, None], new_throughput, st["throughput"]),
+        radiance=radiance,
+        active=new_active,
+        specular=jnp.where(upd, new_specular, st["specular"]),
+        cur_mat=jnp.where(upd, new_cur, st["cur_mat"]),
+    )
+
+
+def draw_uniforms(key, n_lanes: int):
+    """Pre-draw the full uniform block for a batch."""
+    return jax.random.uniform(
+        key, (n_lanes, MAX_BOUNCES, N_UNIFORMS), dtype=jnp.float32
+    )
+
+
+def render_sample(scene: Scene, origins, dirs, key):
+    """One sample per lane: radiance (B, 3)."""
+    u = draw_uniforms(key, origins.shape[0])
+    return trace_paths(scene, origins, dirs, u)
