@@ -131,32 +131,41 @@ def cornell_scene(depth: int = 6):
     return scene, camera
 
 
+def terrain_grid(depth: int, seed: int = 0) -> np.ndarray:
+    """Vectorized Minecraft-ish heightfield terrain (any depth up to 9+):
+    stone/dirt/grass columns, emissive glowstone, a water pool."""
+    rng = np.random.default_rng(seed)
+    s = 1 << depth
+    GRASS, DIRT, STONE, GLOW, WATER = 1, 2, 3, 4, 5
+    hx = np.linspace(0, 3.0 * max(1, s // 32), s)
+    hz = np.linspace(0, 2.0 * max(1, s // 32), s)
+    height = (
+        s // 3
+        + np.sin(hx)[:, None] * (s / 10)
+        + np.cos(hz)[None, :] * (s / 16)
+        + rng.normal(0, max(0.5, s / 64), (s, s))
+    ).astype(np.int64).clip(2, s - 3)
+    yy = np.arange(s)[None, :, None]
+    h = height[:, None, :]
+    grid = np.zeros((s, s, s), np.uint32)
+    grid = np.where(yy < h - 2, STONE, grid)
+    grid = np.where((yy >= h - 2) & (yy < h), DIRT, grid)
+    grid = np.where(yy == h, GRASS, grid).astype(np.uint32)
+    # glowstone scattered above ground
+    n_glow = max(2, s // 4)
+    gx = rng.integers(0, s, n_glow)
+    gz = rng.integers(0, s, n_glow)
+    grid[gx, (height[gx, gz] + 2).clip(0, s - 1), gz] = GLOW
+    # water pool
+    grid[s // 4 : s // 2, s // 3 - 1 : s // 3 + 1, s // 4 : s // 2] = WATER
+    return grid
+
+
 def minecraft_chunk_scene(depth: int = 5, seed: int = 0):
     """Config 3: Minecraft-ish terrain chunk — grass/dirt/stone heightfield,
     scattered emissive glowstone, a water pool."""
-    rng = np.random.default_rng(seed)
     s = 1 << depth
-    grid = np.zeros((s, s, s), np.uint32)
-    GRASS, DIRT, STONE, GLOW, WATER = 1, 2, 3, 4, 5
-    hx = np.linspace(0, 3.0, s)
-    hz = np.linspace(0, 2.0, s)
-    height = (
-        s // 3
-        + (np.sin(hx)[:, None] * 3 + np.cos(hz)[None, :] * 2 + rng.normal(0, 0.5, (s, s)))
-    ).astype(int).clip(2, s - 2)
-    for x in range(s):
-        for z in range(s):
-            h = height[x, z]
-            grid[x, : h - 2, z] = STONE
-            grid[x, h - 2 : h, z] = DIRT
-            grid[x, h, z] = GRASS
-    # glowstone
-    for _ in range(max(2, s // 4)):
-        x, z = rng.integers(0, s, 2)
-        grid[x, height[x, z] + 2, z] = GLOW
-    # water pool
-    grid[s // 4 : s // 2, s // 3 - 1 : s // 3 + 1, s // 4 : s // 2] = WATER
-    tree = build_from_dense(grid)
+    tree = build_from_dense(terrain_grid(depth, seed))
 
     textures = [
         _solid_texture((255, 0, 255)),

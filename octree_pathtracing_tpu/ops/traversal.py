@@ -121,32 +121,39 @@ def init_state(
     index = _bitmask3(upper_gt)
     pos = jnp.where(upper_gt, _f32(1.5), _f32(1.0))
 
+    # Derive every constant-initialized carry array from a data-dependent zero
+    # so that under shard_map the whole while_loop carry is uniformly
+    # device-varying (JAX's varying-manual-axes check rejects mixed carries).
+    zf = jnp.zeros_like(t_min)  # (B,) f32, varying
+    zu = zf.astype(_u32)
+    zi = zf.astype(jnp.int32)
+
     return TraversalState(
         ro=ro,
         rd=rd,
         t_coef=t_coef,
         t_bias=t_bias,
         mirror=mirror,
-        max_dst=jnp.full((b,), max_dst * octree_scale, _f32),
+        max_dst=zf + max_dst * octree_scale,
         pos=pos,
         index=index,
-        parent=jnp.full((b,), root, _u32),
-        scale=jnp.full((b,), MAX_SCALE - 1, jnp.int32),
-        scale_exp2=jnp.full((b,), 0.5, _f32),
+        parent=zu + jnp.uint32(root),
+        scale=zi + (MAX_SCALE - 1),
+        scale_exp2=zf + 0.5,
         t_min=t_min,
         t_max=t_max,
         h=t_max,
-        stack_idx=jnp.zeros((b, MAX_SCALE + 1), _u32),
-        stack_t=jnp.zeros((b, MAX_SCALE + 1), _f32),
-        status=jnp.zeros((b,), jnp.int32),
-        reject=jnp.zeros((b,), bool),
-        steps=jnp.zeros((b,), jnp.int32),
-        out_t=jnp.full((b,), jnp.inf, _f32),
-        out_face=jnp.full((b,), -1, jnp.int32),
-        out_uv=jnp.zeros((b, 2), _f32),
-        out_leaf=jnp.zeros((b,), _u32),
-        out_voxel_pos=jnp.zeros((b, 3), _f32),
-        out_voxel_size=jnp.zeros((b,), _f32),
+        stack_idx=jnp.broadcast_to(zu[:, None], (b, MAX_SCALE + 1)) + 0,
+        stack_t=jnp.broadcast_to(zf[:, None], (b, MAX_SCALE + 1)) + 0,
+        status=zi,
+        reject=zu != 0,
+        steps=zi,
+        out_t=zf + jnp.inf,
+        out_face=zi - 1,
+        out_uv=jnp.broadcast_to(zf[:, None], (b, 2)) + 0,
+        out_leaf=zu,
+        out_voxel_pos=jnp.broadcast_to(zf[:, None], (b, 3)) + 0,
+        out_voxel_size=zf,
     )
 
 

@@ -87,16 +87,24 @@ def _null_skip_accept(scene: Scene, cur_mat):
 
 
 def _trace(scene: Scene, origins, dirs, cur_mat):
-    tree = scene.octree
+    """Traversal with the visibility structure detached from AD.
+
+    All inputs are stop_gradient'ed so the while_loop carries no tangents:
+    gradients flow through the *shading* chain (albedo/emittance gathers and
+    the radiance arithmetic), never through discrete visibility — the
+    detached-traversal design of SURVEY.md §7.5."""
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    tree = scene_sg.octree
     return traverse(
         tree.child_mask,
         tree.child_data,
         tree.root,
         tree.scale(),
-        origins,
-        dirs,
+        sg(origins),
+        sg(dirs),
         max_dst=MAX_DIST,
-        accept_fn=_null_skip_accept(scene, cur_mat),
+        accept_fn=_null_skip_accept(scene_sg, cur_mat),
     )
 
 

@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octree_pathtracing_tpu.models import sphere_scene
+from octree_pathtracing_tpu.models.camera import pixel_grid_rays
+from octree_pathtracing_tpu.parallel import (
+    make_mesh,
+    sharded_render,
+    sharded_train_step,
+)
+from octree_pathtracing_tpu.render import draw_uniforms, trace_paths
+
+
+def _lanes(scene, cam, w, h, s, seed=0):
+    origins, dirs = pixel_grid_rays(cam, w, h)
+    b = origins.shape[0]
+    o = jnp.broadcast_to(origins[None], (s, b, 3))
+    d = jnp.broadcast_to(dirs[None], (s, b, 3))
+    u = draw_uniforms(jax.random.PRNGKey(seed), s * b).reshape(s, b, -1)
+    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
+    from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
+
+    u = u.reshape(s, b, MAX_BOUNCES, N_UNIFORMS)
+    return o, d, u
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "sp")
+
+
+def test_sharded_render_matches_single_device():
+    scene, cam = sphere_scene(depth=3)
+    mesh = make_mesh()  # (4, 2)
+    s, w, h = 2, 8, 4  # B=32 divisible by dp=4; S=2 by sp=2
+    o, d, u = _lanes(scene, cam, w, h, s)
+    out = np.asarray(sharded_render(mesh, scene, o, d, u))
+
+    # single-device reference: flatten all lanes, mean over samples
+    flat = lambda x: np.asarray(x).reshape((s * w * h,) + x.shape[2:])
+    ref = np.asarray(
+        trace_paths(scene, jnp.asarray(flat(o)), jnp.asarray(flat(d)), jnp.asarray(flat(u)))
+    ).reshape(s, w * h, 3).mean(axis=0)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_grads():
+    scene, cam = sphere_scene(depth=3)
+    mesh = make_mesh()
+    s, w, h = 2, 8, 4
+    o, d, u = _lanes(scene, cam, w, h, s, seed=2)
+    params = {
+        "atlas": scene.atlas,
+        "emittance": scene.materials.emittance,
+    }
+    target = jnp.zeros((s, w * h, 3), jnp.float32)
+    loss, grads = sharded_train_step(mesh, scene, params, o, d, u, target)
+    loss = float(loss)
+    assert np.isfinite(loss) and loss > 0.0
+    g_atlas = np.asarray(grads["atlas"])
+    assert g_atlas.shape == scene.atlas.shape
+    assert np.isfinite(g_atlas).all()
+    # some albedo gradient must be nonzero (surfaces are visible)
+    assert np.abs(g_atlas).max() > 0.0
