@@ -125,8 +125,10 @@ def cornell_scene(depth: int = 6):
     # sun off-ish: interior box lit by the emissive patch
     sun = make_sun(altitude=-np.pi / 3)
     scene = make_scene(tree, make_material_table(materials), build_atlas(textures), sun=sun)
+    # eye slightly off the voxel-center axes: an exactly-centered camera sends
+    # many rays along voxel boundary planes (degenerate traversal knife-edges)
     camera = Camera.look_at(
-        eye=(s * 0.5, s * 0.5, -s * 1.2), center=(s * 0.5, s * 0.5, s * 0.5)
+        eye=(s * 0.513, s * 0.492, -s * 1.2), center=(s * 0.507, s * 0.496, s * 0.5)
     )
     return scene, camera
 

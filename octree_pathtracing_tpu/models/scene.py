@@ -46,6 +46,9 @@ class Scene:
     emitter_sampling: str = EmitterSampling.NONE
     emitters_enabled: bool = True
     f_sub_surface: float = F_SUB_SURFACE_DEFAULT
+    # static: True when no material can ever satisfy the null-skip predicate
+    # (alpha+specular < eps), letting the traversal skip its accept callback.
+    opaque_only: bool = False
 
     def tree_flatten(self):
         return (self.octree, self.materials, self.atlas, self.sun, self.leaf_material), (
@@ -53,6 +56,7 @@ class Scene:
             self.emitter_sampling,
             self.emitters_enabled,
             self.f_sub_surface,
+            self.opaque_only,
         )
 
     @classmethod
@@ -108,6 +112,16 @@ def make_scene(
         root=octree.root,
         depth=octree.depth,
     )
+    if "opaque_only" not in kwargs:
+        # a material can be "null" only if some texel of its texture has
+        # alpha + specular < eps (path_tracer.rs:52-54); if none can, the
+        # traversal never needs its accept callback.
+        atlas_np = np.asarray(atlas)
+        min_alpha = atlas_np[..., 3].reshape(atlas_np.shape[0], -1).min(axis=1)
+        tex_idx = np.asarray(materials.texture_index)
+        spec = np.asarray(materials.specular)
+        m_min_alpha = min_alpha[np.clip(tex_idx, 0, len(min_alpha) - 1)]
+        kwargs["opaque_only"] = bool(np.all(m_min_alpha + spec >= 5e-8))
     return Scene(
         octree=octree,
         materials=materials,

@@ -1,8 +1,5 @@
 from .traversal import (
     traverse,
-    traversal_step,
-    init_state,
-    TraversalState,
     HitResult,
     MAX_STEPS,
     MAX_SCALE,
@@ -11,9 +8,6 @@ from .traversal import (
 
 __all__ = [
     "traverse",
-    "traversal_step",
-    "init_state",
-    "TraversalState",
     "HitResult",
     "MAX_STEPS",
     "MAX_SCALE",

@@ -6,8 +6,22 @@ TPU-native re-design of the reference's per-thread stack traversal
 whole structure-of-arrays ray batch advances in lockstep under one
 ``lax.while_loop``: every iteration performs two gathers from the HBM node
 pool (child mask + child word) and fully-masked PUSH / ADVANCE / POP lane
-updates on the VPU.  Per-lane traversal stacks are ``(B, 24)`` arrays; the
-float-bit scale tricks map to ``lax.bitcast_convert_type`` and ``lax.clz``.
+updates on the VPU.  The float-bit scale tricks map to
+``lax.bitcast_convert_type`` and ``lax.clz``.
+
+TPU layout decisions (the difference between ~1e5 and ~1e7 rays/s):
+
+- every per-lane vector is stored **component-major** ``(3, B)`` / stacks
+  ``(S, B)`` so the minor (vector-lane) dimension is the big ray axis, not a
+  3- or 24-wide stub that wastes 97% of each VPU register;
+- per-ray constants (t_coef, t_bias, mirror mask, ...) are closed over, not
+  carried, so the loop state is minimal;
+- per-lane traversal stacks have ``depth`` rows (the reference's fixed 24
+  is sized for max depth; a depth-9 region tree only ever touches 9 —
+  SURVEY.md §7 hard part (c));
+- the step counter is a single scalar (lanes advance in lockstep);
+- leaf hit info (face id, uv) is reconstructed once after the loop from the
+  frozen candidate state — unless an accept callback needs it inline.
 
 Lanes terminate independently (leaf candidate / miss / step cap); the loop
 runs until every lane is done.  An optional ``accept_fn`` implements the
@@ -45,65 +59,49 @@ def _fbits(x):
     return lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _bitmask3(b):  # (..., 3) bool -> (...,) uint32 with bits x|y<<1|z<<2
-    b = b.astype(jnp.uint32)
-    return b[..., 0] | (b[..., 1] << 1) | (b[..., 2] << 2)
+class RayConstants(NamedTuple):
+    """Per-ray loop invariants (component-major)."""
+
+    ro: jnp.ndarray  # (3, B) origin in [1,2) cube space
+    rd: jnp.ndarray  # (3, B) epsilon-clamped direction
+    t_coef: jnp.ndarray  # (3, B)
+    t_bias: jnp.ndarray  # (3, B) mirrored
+    mirror: jnp.ndarray  # (B,) int32 bitmask
+    max_dst: jnp.ndarray  # () scalar in cube units
 
 
-class TraversalState(NamedTuple):
-    # per-ray constants
-    ro: jnp.ndarray  # (B,3) origin in [1,2) cube space
-    rd: jnp.ndarray  # (B,3) epsilon-clamped direction
-    t_coef: jnp.ndarray  # (B,3)
-    t_bias: jnp.ndarray  # (B,3) mirrored
-    mirror: jnp.ndarray  # (B,) uint32
-    max_dst: jnp.ndarray  # (B,) in cube units
-    # loop state
-    pos: jnp.ndarray  # (B,3)
-    index: jnp.ndarray  # (B,) uint32 (mirrored child index)
-    parent: jnp.ndarray  # (B,) uint32
+class Carry(NamedTuple):
+    pos: jnp.ndarray  # (3, B)
+    index: jnp.ndarray  # (B,) int32 mirrored child index
+    parent: jnp.ndarray  # (B,) int32 node id
     scale: jnp.ndarray  # (B,) int32
     scale_exp2: jnp.ndarray  # (B,)
     t_min: jnp.ndarray  # (B,)
     t_max: jnp.ndarray  # (B,)
     h: jnp.ndarray  # (B,)
-    stack_idx: jnp.ndarray  # (B,24) uint32
-    stack_t: jnp.ndarray  # (B,24)
+    stack_idx: jnp.ndarray  # (S, B) int32
+    stack_t: jnp.ndarray  # (S, B)
     status: jnp.ndarray  # (B,) int32
-    reject: jnp.ndarray  # (B,) bool — force ADVANCE on next step (alpha reject)
-    steps: jnp.ndarray  # (B,) int32
-    # outputs (valid where status == CANDIDATE)
-    out_t: jnp.ndarray  # (B,) hit t in cube units
-    out_face: jnp.ndarray  # (B,) int32 face id (axis*2 | negative-dir bit)
-    out_uv: jnp.ndarray  # (B,2)
-    out_leaf: jnp.ndarray  # (B,) uint32 leaf value
-    out_voxel_pos: jnp.ndarray  # (B,3) leaf corner in [1,2) space (unmirrored)
-    out_voxel_size: jnp.ndarray  # (B,)
+    reject: jnp.ndarray  # (B,) bool
+    step: jnp.ndarray  # () int32
 
 
 class HitResult(NamedTuple):
     hit: jnp.ndarray  # (B,) bool
     t: jnp.ndarray  # (B,) world-space t
-    face_id: jnp.ndarray  # (B,) int32
-    uv: jnp.ndarray  # (B,2)
+    face_id: jnp.ndarray  # (B,) int32 (axis*2 | negative-dir bit)
+    uv: jnp.ndarray  # (B, 2)
     leaf_value: jnp.ndarray  # (B,) uint32
-    voxel_pos: jnp.ndarray  # (B,3) world-space voxel min corner
+    voxel_pos: jnp.ndarray  # (B, 3) world-space voxel min corner
     voxel_size: jnp.ndarray  # (B,) world-space voxel side
-    steps: jnp.ndarray  # (B,) int32
+    steps: jnp.ndarray  # () int32 — loop iterations executed
 
 
-def init_state(
-    root: jnp.ndarray,
-    octree_scale: float,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
-    max_dst: float = 1024.0,
-) -> TraversalState:
+def _init(root, octree_scale, origins, directions, max_dst, stack_rows):
     """Per-lane traversal init (``octree_traversal.rs:69-125``)."""
-    origins = origins.astype(_f32)
-    rd = directions.astype(_f32)
-    b = origins.shape[0]
-    ro = origins * _f32(octree_scale) + 1.0
+    ro = origins.astype(_f32).T * _f32(octree_scale) + 1.0  # (3, B)
+    rd = directions.astype(_f32).T
+    b = ro.shape[1]
 
     eps_bits = _bits(jnp.float32(EPSILON)) & ~_SIGN
     small = jnp.abs(rd) < EPSILON
@@ -112,167 +110,164 @@ def init_state(
     t_coef = 1.0 / -jnp.abs(rd)
     t_bias = t_coef * ro
     pos_dir = rd > 0.0
-    mirror = _bitmask3(pos_dir)
+    mirror = (
+        pos_dir[0].astype(jnp.int32)
+        | (pos_dir[1].astype(jnp.int32) << 1)
+        | (pos_dir[2].astype(jnp.int32) << 2)
+    )
     t_bias = jnp.where(pos_dir, 3.0 * t_coef - t_bias, t_bias)
 
-    t_min = jnp.maximum(jnp.max(2.0 * t_coef - t_bias, axis=-1), 0.0)
-    t_max = jnp.min(t_coef - t_bias, axis=-1)
-    upper_gt = (1.5 * t_coef - t_bias) > t_min[:, None]
-    index = _bitmask3(upper_gt)
+    t_min = jnp.maximum(jnp.max(2.0 * t_coef - t_bias, axis=0), 0.0)
+    t_max = jnp.min(t_coef - t_bias, axis=0)
+    upper_gt = (1.5 * t_coef - t_bias) > t_min[None, :]
+    index = (
+        upper_gt[0].astype(jnp.int32)
+        | (upper_gt[1].astype(jnp.int32) << 1)
+        | (upper_gt[2].astype(jnp.int32) << 2)
+    )
     pos = jnp.where(upper_gt, _f32(1.5), _f32(1.0))
 
-    # Derive every constant-initialized carry array from a data-dependent zero
-    # so that under shard_map the whole while_loop carry is uniformly
-    # device-varying (JAX's varying-manual-axes check rejects mixed carries).
-    zf = jnp.zeros_like(t_min)  # (B,) f32, varying
-    zu = zf.astype(_u32)
+    zf = jnp.zeros_like(t_min)  # varying zeros (shard_map VMA-uniform carry)
     zi = zf.astype(jnp.int32)
 
-    return TraversalState(
+    consts = RayConstants(
         ro=ro,
         rd=rd,
         t_coef=t_coef,
         t_bias=t_bias,
         mirror=mirror,
-        max_dst=zf + max_dst * octree_scale,
+        max_dst=jnp.float32(max_dst * octree_scale),
+    )
+    carry = Carry(
         pos=pos,
         index=index,
-        parent=zu + jnp.uint32(root),
+        parent=zi + jnp.int32(root),
         scale=zi + (MAX_SCALE - 1),
         scale_exp2=zf + 0.5,
         t_min=t_min,
         t_max=t_max,
         h=t_max,
-        stack_idx=jnp.broadcast_to(zu[:, None], (b, MAX_SCALE + 1)) + 0,
-        stack_t=jnp.broadcast_to(zf[:, None], (b, MAX_SCALE + 1)) + 0,
+        stack_idx=jnp.broadcast_to(zi[None, :], (stack_rows, b)) + 0,
+        stack_t=jnp.broadcast_to(zf[None, :], (stack_rows, b)) + 0,
         status=zi,
-        reject=zu != 0,
-        steps=zi,
-        out_t=zf + jnp.inf,
-        out_face=zi - 1,
-        out_uv=jnp.broadcast_to(zf[:, None], (b, 2)) + 0,
-        out_leaf=zu,
-        out_voxel_pos=jnp.broadcast_to(zf[:, None], (b, 3)) + 0,
-        out_voxel_size=zf,
+        reject=zi != 0,
+        step=jnp.int32(0),
     )
+    return consts, carry
 
 
-def _hit_info(s: TraversalState):
-    """Face id + uv of the current leaf voxel (``octree_traversal.rs:149-190``).
+VALUE_MASK = 0x3FFFFFFF  # low 30 bits: child index / leaf value
+PRESENT_BIT = 30
+LEAF_BIT_PACKED = 31
 
-    face_id = axis*2 | sign(rd) with the reference's evident intent for the x
-    case (see traversal_ref.py docstring for the deviation note).
+
+def _mux8(slot, cols):
+    """Select cols[slot] per lane via a 3-level select tree (avoids a second
+    gather op — TPU gathers have ~ms per-op cost, selects are VPU-cheap)."""
+    s0 = (slot & 1) != 0
+    s1 = (slot & 2) != 0
+    s2 = (slot & 4) != 0
+    a0 = jnp.where(s0, cols[1], cols[0])
+    a1 = jnp.where(s0, cols[3], cols[2])
+    a2 = jnp.where(s0, cols[5], cols[4])
+    a3 = jnp.where(s0, cols[7], cols[6])
+    b0 = jnp.where(s1, a1, a0)
+    b1 = jnp.where(s1, a3, a2)
+    return jnp.where(s2, b1, b0)
+
+
+def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
+    """One lockstep iteration of the ESVO loop over the whole batch.
+
+    ``nodes_packed``: (N, 8) int32 — one word per child slot: low 30 bits =
+    child index / leaf value, bit 30 = present, bit 31 = leaf.  One 8-wide
+    row-gather per iteration fetches the whole node (TPU gather cost is per
+    row, nearly independent of row width); the slot select is a VPU mux tree.
+
+    ``scale_base`` = MAX_SCALE - depth: stack rows are indexed by
+    ``scale - scale_base`` (the only scales a depth-deep tree can visit).
     """
-    mirror_bit = ((s.mirror[:, None] >> jnp.arange(3, dtype=_u32)[None, :]) & 1) != 0
-    unmirrored_pos = jnp.where(
-        mirror_bit, 3.0 - s.scale_exp2[:, None] - s.pos, s.pos
-    )
-    t_corner_h = (s.pos + s.scale_exp2[:, None]) * s.t_coef - s.t_bias
-    tc_min = jnp.max(t_corner_h, axis=-1)
-    eq = t_corner_h == tc_min[:, None]
-    axis = jnp.where(eq[:, 0], 0, jnp.where(eq[:, 1], 1, 2))
-    sign = (_bits(jnp.take_along_axis(s.rd, axis[:, None], 1)[:, 0]) >> 31).astype(
-        jnp.int32
-    )
-    face = axis * 2 + sign
-
-    a1 = jnp.array([2, 0, 0], jnp.int32)[axis]
-    a2 = jnp.array([1, 2, 1], jnp.int32)[axis]
-
-    def pick(arr, ax):
-        return jnp.take_along_axis(arr, ax[:, None], 1)[:, 0]
-
-    tm = tc_min
-    uu = (pick(s.ro, a1) + pick(s.rd, a1) * tm - pick(unmirrored_pos, a1)) / s.scale_exp2
-    vv = (pick(s.ro, a2) + pick(s.rd, a2) * tm - pick(unmirrored_pos, a2)) / s.scale_exp2
-    rd_ax_neg = pick(s.rd, axis) < 0.0
-    flip_u = rd_ax_neg & ((axis == 0) | (axis == 2))
-    flip_v = rd_ax_neg & (axis == 1)
-    uu = jnp.where(flip_u, 1.0 - uu, uu)
-    vv = jnp.where(flip_v, 1.0 - vv, vv)
-    return face, uu, vv, unmirrored_pos
-
-
-def traversal_step(
-    child_mask: jnp.ndarray, child_data: jnp.ndarray, s: TraversalState
-) -> TraversalState:
-    """One lockstep iteration of the ESVO loop over the whole batch."""
     active = s.status == ACTIVE
 
     # loop-top distance cap (octree_traversal.rs:128-130)
-    dist_miss = active & (s.t_min > s.max_dst)
+    dist_miss = active & (s.t_min > c.max_dst)
 
-    t_corner = s.pos * s.t_coef - s.t_bias
-    tc_max = jnp.min(t_corner, axis=-1)
+    t_corner = s.pos * c.t_coef - c.t_bias  # (3, B)
+    tc_max = jnp.min(t_corner, axis=0)
 
-    slot = (s.index ^ s.mirror).astype(jnp.int32)
-    node_mask = child_mask[s.parent]
-    value = child_data[s.parent, slot]
-    present = ((node_mask >> slot.astype(_u32)) & 1) != 0
-    leafb = ((node_mask >> (slot.astype(_u32) + 8)) & 1) != 0
+    slot = s.index ^ c.mirror
+    row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
+    word = _mux8(slot, [row[:, i] for i in range(8)])
+    value = word & VALUE_MASK
+    present = ((word >> PRESENT_BIT) & 1) != 0
+    leafb = (word >> LEAF_BIT_PACKED) != 0  # arithmetic shift of the sign bit
 
     valid = present & (s.t_min <= s.t_max)
     is_hit = active & ~dist_miss & valid & leafb & (s.t_min > 0.0) & ~s.reject
 
     half = s.scale_exp2 * 0.5
-    t_center = half[:, None] * s.t_coef + t_corner
+    t_center = half[None, :] * c.t_coef + t_corner
     tv_max = jnp.minimum(s.t_max, tc_max)
-    do_push = (
-        active & ~dist_miss & valid & ~leafb & (s.t_min <= tv_max) & ~s.reject
-    )
+    do_push = active & ~dist_miss & valid & ~leafb & (s.t_min <= tv_max) & ~s.reject
     do_adv = active & ~dist_miss & ~is_hit & ~do_push
 
     # ---- PUSH (octree_traversal.rs:216-243) ----
     h_cond = tc_max < s.h
-    lanes = jnp.arange(MAX_SCALE + 1, dtype=jnp.int32)[None, :]
-    sel = (do_push & h_cond)[:, None] & (lanes == s.scale[:, None])
-    stack_idx = jnp.where(sel, s.parent[:, None], s.stack_idx)
-    stack_t = jnp.where(sel, s.t_max[:, None], s.stack_t)
+    rows = jnp.arange(s.stack_idx.shape[0], dtype=jnp.int32)[:, None]
+    rel_scale = s.scale - scale_base
+    sel = (do_push & h_cond)[None, :] & (rows == rel_scale[None, :])
+    stack_idx = jnp.where(sel, s.parent[None, :], s.stack_idx)
+    stack_t = jnp.where(sel, s.t_max[None, :], s.stack_t)
 
-    push_bits = t_center > s.t_min[:, None]
-    push_index = _bitmask3(push_bits)
-    push_pos = s.pos + jnp.where(push_bits, half[:, None], 0.0)
+    push_bits = t_center > s.t_min[None, :]
+    push_index = (
+        push_bits[0].astype(jnp.int32)
+        | (push_bits[1].astype(jnp.int32) << 1)
+        | (push_bits[2].astype(jnp.int32) << 2)
+    )
+    push_pos = s.pos + jnp.where(push_bits, half[None, :], 0.0)
 
     # ---- ADVANCE (octree_traversal.rs:249-260) ----
-    adv_bits = t_corner <= tc_max[:, None]
-    step_mask = _bitmask3(adv_bits)
-    adv_pos = s.pos - jnp.where(adv_bits, s.scale_exp2[:, None], 0.0)
+    adv_bits = t_corner <= tc_max[None, :]
+    step_mask = (
+        adv_bits[0].astype(jnp.int32)
+        | (adv_bits[1].astype(jnp.int32) << 1)
+        | (adv_bits[2].astype(jnp.int32) << 2)
+    )
+    adv_pos = s.pos - jnp.where(adv_bits, s.scale_exp2[None, :], 0.0)
     adv_index = s.index ^ step_mask
     pop_needed = do_adv & ((adv_index & step_mask) != 0)
 
     # ---- POP (octree_traversal.rs:262-299) ----
-    diff_axis = _bits(adv_pos) ^ _bits(adv_pos + s.scale_exp2[:, None])
-    stepped = ((step_mask[:, None] >> jnp.arange(3, dtype=_u32)[None, :]) & 1) != 0
+    diff_axis = _bits(adv_pos) ^ _bits(adv_pos + s.scale_exp2[None, :])
     differing = (
-        jnp.where(stepped[:, 0], diff_axis[:, 0], 0)
-        | jnp.where(stepped[:, 1], diff_axis[:, 1], 0)
-        | jnp.where(stepped[:, 2], diff_axis[:, 2], 0)
+        jnp.where(adv_bits[0], diff_axis[0], 0)
+        | jnp.where(adv_bits[1], diff_axis[1], 0)
+        | jnp.where(adv_bits[2], diff_axis[2], 0)
     )
     p_scale = (31 - lax.clz(jnp.maximum(differing, 1))).astype(jnp.int32)
-    p_scale_c = jnp.clip(p_scale, 0, MAX_SCALE)
     pop_miss = pop_needed & (p_scale >= MAX_SCALE)
+    p_scale_c = jnp.clip(p_scale, scale_base, MAX_SCALE - 1)
+    p_rel = p_scale_c - scale_base
     p_scale_exp2 = jnp.exp2((p_scale_c - MAX_SCALE).astype(_f32))
-    p_parent = jnp.take_along_axis(stack_idx, p_scale_c[:, None], 1)[:, 0]
-    p_t_max = jnp.take_along_axis(stack_t, p_scale_c[:, None], 1)[:, 0]
-    sh = _bits(adv_pos) >> p_scale_c[:, None].astype(_u32)
-    p_pos = _fbits(sh << p_scale_c[:, None].astype(_u32))
-    p_index = (sh[:, 0] & 1) | ((sh[:, 1] & 1) << 1) | ((sh[:, 2] & 1) << 2)
+    p_parent = jnp.take_along_axis(stack_idx, p_rel[None, :], 0)[0]
+    p_t_max = jnp.take_along_axis(stack_t, p_rel[None, :], 0)[0]
+    sh = (_bits(adv_pos) >> p_scale_c[None, :].astype(_u32)).astype(jnp.int32)
+    p_pos = _fbits((sh << p_scale_c[None, :]).astype(_u32))
+    p_index = (sh[0] & 1) | ((sh[1] & 1) << 1) | ((sh[2] & 1) << 2)
 
     do_pop = pop_needed & ~pop_miss
 
     # ---- merge lane updates ----
-    def sel3(c, a, b):
-        return jnp.where(c[:, None], a, b)
-
-    pos = sel3(do_push, push_pos, s.pos)
-    pos = sel3(do_adv, adv_pos, pos)
-    pos = sel3(do_pop, p_pos, pos)
+    pos = jnp.where(do_push[None, :], push_pos, s.pos)
+    pos = jnp.where(do_adv[None, :], adv_pos, pos)
+    pos = jnp.where(do_pop[None, :], p_pos, pos)
 
     index = jnp.where(do_push, push_index, s.index)
     index = jnp.where(do_adv, adv_index, index)
     index = jnp.where(do_pop, p_index, index)
 
-    parent = jnp.where(do_push, value, s.parent)
+    parent = jnp.where(do_push, value.astype(jnp.int32), s.parent)
     parent = jnp.where(do_pop, p_parent, parent)
 
     scale = jnp.where(do_push, s.scale - 1, s.scale)
@@ -288,23 +283,11 @@ def traversal_step(
     h = jnp.where(do_push, tc_max, s.h)
     h = jnp.where(do_pop, 0.0, h)
 
-    steps = jnp.where(active, s.steps + 1, s.steps)
-    step_cap = active & ~is_hit & (steps >= MAX_STEPS)
-
     status = s.status
     status = jnp.where(is_hit, CANDIDATE, status)
-    status = jnp.where(dist_miss | pop_miss | step_cap, MISS, status)
+    status = jnp.where(dist_miss | pop_miss, MISS, status)
 
-    # ---- hit outputs for freshly-minted candidates ----
-    face, uu, vv, unmirrored_pos = _hit_info(s)
-    out_t = jnp.where(is_hit, s.t_min, s.out_t)
-    out_face = jnp.where(is_hit, face, s.out_face)
-    out_uv = sel3(is_hit, jnp.stack([uu, vv], -1), s.out_uv)
-    out_leaf = jnp.where(is_hit, value, s.out_leaf)
-    out_voxel_pos = sel3(is_hit, unmirrored_pos, s.out_voxel_pos)
-    out_voxel_size = jnp.where(is_hit, s.scale_exp2, s.out_voxel_size)
-
-    return s._replace(
+    return Carry(
         pos=pos,
         index=index,
         parent=parent,
@@ -317,14 +300,60 @@ def traversal_step(
         stack_t=stack_t,
         status=status,
         reject=jnp.where(active, False, s.reject),
-        steps=steps,
-        out_t=out_t,
-        out_face=out_face,
-        out_uv=out_uv,
-        out_leaf=out_leaf,
-        out_voxel_pos=out_voxel_pos,
-        out_voxel_size=out_voxel_size,
+        step=s.step + 1,
     )
+
+
+def _hit_info(c: RayConstants, s: Carry):
+    """Face id + uv + voxel corner of the frozen candidate state
+    (``octree_traversal.rs:149-190``); see traversal_ref.py for the
+    x-axis face-id deviation note."""
+    mbit = jnp.stack(
+        [(c.mirror >> i) & 1 for i in range(3)]
+    ).astype(bool)  # (3, B)
+    unmirrored_pos = jnp.where(mbit, 3.0 - s.scale_exp2[None, :] - s.pos, s.pos)
+    t_corner_h = (s.pos + s.scale_exp2[None, :]) * c.t_coef - c.t_bias
+    tc_min = jnp.max(t_corner_h, axis=0)
+    eq = t_corner_h == tc_min[None, :]
+    axis = jnp.where(eq[0], 0, jnp.where(eq[1], 1, 2))
+    rd_ax = jnp.where(axis == 0, c.rd[0], jnp.where(axis == 1, c.rd[1], c.rd[2]))
+    sign = (_bits(rd_ax) >> 31).astype(jnp.int32)
+    face = axis * 2 + sign
+
+    def pick(arr, ax_idx):
+        return jnp.where(
+            ax_idx == 0, arr[0], jnp.where(ax_idx == 1, arr[1], arr[2])
+        )
+
+    a1 = jnp.where(axis == 0, 2, 0)
+    a2 = jnp.where(axis == 1, 2, 1)
+    uu = (pick(c.ro, a1) + pick(c.rd, a1) * tc_min - pick(unmirrored_pos, a1)) / s.scale_exp2
+    vv = (pick(c.ro, a2) + pick(c.rd, a2) * tc_min - pick(unmirrored_pos, a2)) / s.scale_exp2
+    neg = rd_ax < 0.0
+    uu = jnp.where(neg & (axis != 1), 1.0 - uu, uu)
+    vv = jnp.where(neg & (axis == 1), 1.0 - vv, vv)
+    return face, uu, vv, unmirrored_pos
+
+
+def _leaf_value(nodes_packed, c: RayConstants, s: Carry):
+    slot = s.index ^ c.mirror
+    row = nodes_packed[s.parent]
+    return _mux8(slot, [row[:, i] for i in range(8)]) & VALUE_MASK
+
+
+def pack_nodes(child_mask, child_data):
+    """(N,) mask + (N, 8) children -> (N, 8) int32 flags-in-word table.
+
+    Per child word: value (30 bits) | present << 30 | leaf << 31.  Child
+    indices and leaf values must fit 30 bits (tree sizes up to 1B nodes;
+    leaf values are material/model ids).
+    """
+    present = (child_mask[:, None].astype(jnp.int32) >> jnp.arange(8, dtype=jnp.int32)) & 1
+    leaf = (
+        child_mask[:, None].astype(jnp.int32) >> (jnp.arange(8, dtype=jnp.int32) + 8)
+    ) & 1
+    value = child_data.astype(jnp.int32) & VALUE_MASK
+    return value | (present << PRESENT_BIT) | (leaf << LEAF_BIT_PACKED)
 
 
 def traverse(
@@ -336,6 +365,7 @@ def traverse(
     directions: jnp.ndarray,
     max_dst: float = 1024.0,
     accept_fn: Optional[Callable] = None,
+    depth: Optional[int] = None,
 ) -> HitResult:
     """Trace a ray batch to its first (accepted) leaf hits.
 
@@ -343,34 +373,58 @@ def traverse(
     whether a leaf candidate counts as a hit (e.g. texture alpha test); lanes
     whose candidate is rejected resume with a forced ADVANCE, reproducing
     ``octree_traversal.rs:192-215``'s fall-through.  ``None`` accepts all.
+
+    ``depth``: static octree depth; sizes the per-lane stacks (defaults to
+    the max 23 when unknown).
     """
-    s0 = init_state(root, octree_scale, origins, directions, max_dst)
+    stack_rows = int(depth) + 1 if depth is not None else MAX_SCALE + 1
+    scale_base = MAX_SCALE - (int(depth) if depth is not None else MAX_SCALE)
+    consts, carry0 = _init(
+        root, octree_scale, origins, directions, max_dst, stack_rows
+    )
+    nodes_packed = pack_nodes(child_mask, child_data)
     inv_scale = 1.0 / octree_scale
 
     def cond(s):
-        return jnp.any(s.status == ACTIVE)
+        return jnp.any(s.status == ACTIVE) & (s.step < MAX_STEPS)
 
-    def body(s):
-        s = traversal_step(child_mask, child_data, s)
-        if accept_fn is not None:
-            cand = s.status == CANDIDATE
-            ok = accept_fn(s.out_leaf, s.out_face, s.out_uv, s.out_t * inv_scale)
-            rej = cand & ~ok
-            s = s._replace(
+    if accept_fn is None:
+
+        def body(s):
+            return _step(nodes_packed, consts, s, scale_base)
+
+    else:
+
+        def body(s):
+            prev_status = s.status
+            s = _step(nodes_packed, consts, s, scale_base)
+            fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
+            face, uu, vv, _ = _hit_info(consts, s)
+            leaf = _leaf_value(nodes_packed, consts, s)
+            ok = accept_fn(
+                leaf.astype(_u32),
+                face,
+                jnp.stack([uu, vv], axis=-1),
+                s.t_min * inv_scale,
+            )
+            rej = fresh & ~ok
+            return s._replace(
                 status=jnp.where(rej, ACTIVE, s.status),
                 reject=rej | s.reject,
             )
-        return s
 
-    s = lax.while_loop(cond, body, s0)
+    s = lax.while_loop(cond, body, carry0)
+
     hit = s.status == CANDIDATE
+    face, uu, vv, unmirrored_pos = _hit_info(consts, s)
+    leaf = _leaf_value(nodes_packed, consts, s)
     return HitResult(
         hit=hit,
-        t=jnp.where(hit, s.out_t * inv_scale, jnp.inf),
-        face_id=s.out_face,
-        uv=s.out_uv,
-        leaf_value=jnp.where(hit, s.out_leaf, 0),
-        voxel_pos=(s.out_voxel_pos - 1.0) * inv_scale,
-        voxel_size=s.out_voxel_size * inv_scale,
-        steps=s.steps,
+        t=jnp.where(hit, s.t_min * inv_scale, jnp.inf),
+        face_id=jnp.where(hit, face, -1),
+        uv=jnp.stack([uu, vv], axis=-1),
+        leaf_value=jnp.where(hit, leaf.astype(_u32), 0),
+        voxel_pos=((unmirrored_pos - 1.0) * inv_scale).T,
+        voxel_size=s.scale_exp2 * inv_scale,
+        steps=s.step,
     )

@@ -104,7 +104,8 @@ def _trace(scene: Scene, origins, dirs, cur_mat):
         sg(origins),
         sg(dirs),
         max_dst=MAX_DIST,
-        accept_fn=_null_skip_accept(scene_sg, cur_mat),
+        accept_fn=None if scene.opaque_only else _null_skip_accept(scene_sg, cur_mat),
+        depth=tree.depth,
     )
 
 

@@ -28,6 +28,7 @@ def preview_render_rays(scene: Scene, origins, directions):
         tree.scale(),
         origins,
         directions,
+        depth=tree.depth,
     )
     mat_id = scene.leaf_material[
         jnp.clip(res.leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
