@@ -42,11 +42,14 @@ class MaterialTable:
             self.emittance,
             self.roughness,
             self.metalness,
-        ), (self.flags, self.texture_index, self.tint_index)
+            self.flags,
+            self.texture_index,
+            self.tint_index,
+        ), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1], aux[2])
+        return cls(*children)
 
     @property
     def count(self) -> int:

@@ -42,26 +42,39 @@ class Scene:
     sun: Sun
     # leaf_value -> material id map (uint32); identity when leaves are material ids
     leaf_material: Any  # (L,) int32
+    # optional block-model table (non-cube leaf geometry); None = all cubes
+    models: Any = None  # BlockModels | None
     sun_sampling: SunSampling = dataclasses.field(default_factory=SunSampling.importance)
     emitter_sampling: str = EmitterSampling.NONE
     emitters_enabled: bool = True
     f_sub_surface: float = F_SUB_SURFACE_DEFAULT
-    # static: True when no material can ever satisfy the null-skip predicate
-    # (alpha+specular < eps), letting the traversal skip its accept callback.
+    # static: True when no material can ever satisfy the null-skip or
+    # alpha-cutout predicates, letting the traversal skip its accept callback.
     opaque_only: bool = False
+    # static: True when some model has quad geometry (enables the
+    # quad-refinement + retry path in the integrator).
+    has_quad_models: bool = False
 
     def tree_flatten(self):
-        return (self.octree, self.materials, self.atlas, self.sun, self.leaf_material), (
+        return (
+            self.octree,
+            self.materials,
+            self.atlas,
+            self.sun,
+            self.leaf_material,
+            self.models,
+        ), (
             self.sun_sampling,
             self.emitter_sampling,
             self.emitters_enabled,
             self.f_sub_surface,
             self.opaque_only,
+            self.has_quad_models,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], *aux)
+        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -99,6 +112,7 @@ def make_scene(
     atlas,
     sun: Sun | None = None,
     leaf_material=None,
+    models=None,
     **kwargs,
 ) -> Scene:
     if sun is None:
@@ -112,21 +126,30 @@ def make_scene(
         root=octree.root,
         depth=octree.depth,
     )
+    if models is not None and "has_quad_models" not in kwargs:
+        from .blockmodels import FLAG_SIMPLE
+
+        kwargs["has_quad_models"] = bool(
+            np.any((np.asarray(models.flags) & FLAG_SIMPLE) == 0)
+        )
     if "opaque_only" not in kwargs:
-        # a material can be "null" only if some texel of its texture has
-        # alpha + specular < eps (path_tracer.rs:52-54); if none can, the
-        # traversal never needs its accept callback.
+        # The traversal's accept callback is only needed when some leaf could
+        # be rejected: an alpha-cutout texel (alpha <= eps within a texture,
+        # Cuboid::intersect_texture semantics cuboid.rs:73-90) or a quad-model
+        # miss.  All-opaque cube scenes skip it entirely.
         atlas_np = np.asarray(atlas)
         min_alpha = atlas_np[..., 3].reshape(atlas_np.shape[0], -1).min(axis=1)
         tex_idx = np.asarray(materials.texture_index)
-        spec = np.asarray(materials.specular)
         m_min_alpha = min_alpha[np.clip(tex_idx, 0, len(min_alpha) - 1)]
-        kwargs["opaque_only"] = bool(np.all(m_min_alpha + spec >= 5e-8))
+        kwargs["opaque_only"] = bool(np.all(m_min_alpha > 5e-8)) and not kwargs.get(
+            "has_quad_models", False
+        )
     return Scene(
         octree=octree,
         materials=materials,
         atlas=jnp.asarray(atlas),
         sun=sun,
         leaf_material=jnp.asarray(leaf_material, jnp.int32),
+        models=models,
         **kwargs,
     )

@@ -369,10 +369,12 @@ def traverse(
 ) -> HitResult:
     """Trace a ray batch to its first (accepted) leaf hits.
 
-    ``accept_fn(leaf_value, face_id, uv, t_world) -> (B,) bool`` decides
-    whether a leaf candidate counts as a hit (e.g. texture alpha test); lanes
-    whose candidate is rejected resume with a forced ADVANCE, reproducing
-    ``octree_traversal.rs:192-215``'s fall-through.  ``None`` accepts all.
+    ``accept_fn(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size) ->
+    (B,) bool`` decides whether a leaf candidate counts as a hit (texture
+    alpha test / block-model intersection); lanes whose candidate is rejected
+    resume with a forced ADVANCE, reproducing ``octree_traversal.rs:192-215``'s
+    fall-through.  ``None`` accepts all.  ``voxel_pos``/``voxel_size`` are
+    world-space (the leaf's min corner and side).
 
     ``depth``: static octree depth; sizes the per-lane stacks (defaults to
     the max 23 when unknown).
@@ -399,13 +401,15 @@ def traverse(
             prev_status = s.status
             s = _step(nodes_packed, consts, s, scale_base)
             fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
-            face, uu, vv, _ = _hit_info(consts, s)
+            face, uu, vv, unmirrored_pos = _hit_info(consts, s)
             leaf = _leaf_value(nodes_packed, consts, s)
             ok = accept_fn(
                 leaf.astype(_u32),
                 face,
                 jnp.stack([uu, vv], axis=-1),
                 s.t_min * inv_scale,
+                ((unmirrored_pos - 1.0) * inv_scale).T,
+                s.scale_exp2 * inv_scale,
             )
             rej = fresh & ~ok
             return s._replace(

@@ -1,0 +1,130 @@
+"""Hit resolution: traversal candidates -> (material, uv, normal, t).
+
+Centralizes the leaf-model dispatch of ``octree_traversal.rs:192-215``:
+
+- no model table: leaf value -> material via ``scene.leaf_material``, face
+  uv/normal from the traversal (full-cube SingleBlock path),
+- simple models: per-face material (packed Cuboid ``[u16; 6]``,
+  ``gpu_structs/cuboid.rs:37-44``),
+- quad models: nearest accepted quad in block-local space (ResourceModel::
+  Quad, with the alpha test of ``Cuboid::intersect_texture``).
+
+Also provides the acceptance predicate used inside the traversal loop (the
+"model intersection failed -> keep traversing" fall-through).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.blockmodels import FLAG_SIMPLE, MAX_MODEL_QUADS
+from ..models.scene import Scene, face_normals
+from ..ops.geometry import quad_hit
+from ..ops.shading import EPSILON
+from ..ops.texture import sample_atlas
+
+
+def _albedo(scene: Scene, mat_id, uv):
+    layer = scene.materials.texture_index[mat_id]
+    return sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
+
+
+def _leaf_mat(scene: Scene, leaf_value):
+    return scene.leaf_material[
+        jnp.clip(leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
+    ]
+
+
+def _quad_scan(scene: Scene, origins, dirs, leaf_value, voxel_pos, voxel_size):
+    """Test a candidate's quad model; returns (found, t_world, uv, mat, normal)."""
+    m = scene.models
+    model = m.leaf_model[
+        jnp.clip(leaf_value.astype(jnp.int32), 0, m.leaf_model.shape[0] - 1)
+    ]
+    start = m.quad_start[model]
+    count = m.quad_count[model]
+    vs = voxel_size[:, None]
+    o_loc = (origins - voxel_pos) / vs
+    zero_vox = jnp.zeros_like(voxel_pos)
+
+    best_t = jnp.full(origins.shape[0], jnp.inf)
+    best_uu = jnp.zeros(origins.shape[0])
+    best_vv = jnp.zeros(origins.shape[0])
+    best_q = jnp.full(origins.shape[0], -1, jnp.int32)
+    for k in range(MAX_MODEL_QUADS):
+        q_idx = jnp.clip(start + k, 0, m.quads.count - 1)
+        ok, t, uu, vv = quad_hit(m.quads, q_idx, o_loc, dirs, zero_vox, best_t)
+        mat_k = m.quads.material_id[q_idx]
+        alpha = _albedo(scene, mat_k, jnp.stack([uu, vv], -1))[:, 3]
+        take = (k < count) & ok & (alpha > EPSILON) & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_uu = jnp.where(take, uu, best_uu)
+        best_vv = jnp.where(take, vv, best_vv)
+        best_q = jnp.where(take, q_idx, best_q)
+    found = best_q >= 0
+    mat = m.quads.material_id[jnp.maximum(best_q, 0)]
+    normal = m.quads.normal[jnp.maximum(best_q, 0)]
+    t_world = best_t * voxel_size
+    return found, t_world, jnp.stack([best_uu, best_vv], -1), mat, normal
+
+
+def make_accept_fn(scene: Scene, origins, dirs):
+    """Candidate acceptance inside the traversal loop: texel alpha > eps for
+    cube faces; any accepted quad for quad models.  Returns None when the
+    scene is statically all-opaque cubes (no rejection possible)."""
+    if scene.opaque_only:
+        return None
+
+    def accept(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size):
+        if scene.models is None:
+            mat = _leaf_mat(scene, leaf_value)
+            return _albedo(scene, mat, uv)[:, 3] > EPSILON
+        m = scene.models
+        model = m.leaf_model[
+            jnp.clip(leaf_value.astype(jnp.int32), 0, m.leaf_model.shape[0] - 1)
+        ]
+        simple = (m.flags[model] & FLAG_SIMPLE) != 0
+        mat = m.face_material[model, jnp.clip(face_id, 0, 5)]
+        ok_simple = _albedo(scene, mat, uv)[:, 3] > EPSILON
+        if not scene.has_quad_models:
+            return ok_simple
+        found, _, _, _, _ = _quad_scan(
+            scene, origins, dirs, leaf_value, voxel_pos, voxel_size
+        )
+        return jnp.where(simple, ok_simple, found)
+
+    return accept
+
+
+def resolve_hit(scene: Scene, origins, dirs, res):
+    """Final hit attributes for accepted candidates.
+
+    Returns (mat (B,), uv (B,2), normal (B,3), t (B,)).  For quad models the
+    hit is the nearest accepted quad (entry-face values otherwise).
+    """
+    base_uv = res.uv
+    base_t = res.t
+    base_normal = face_normals()[jnp.clip(res.face_id, 0, 5)]
+    if scene.models is None:
+        return _leaf_mat(scene, res.leaf_value), base_uv, base_normal, base_t
+
+    m = scene.models
+    model = m.leaf_model[
+        jnp.clip(res.leaf_value.astype(jnp.int32), 0, m.leaf_model.shape[0] - 1)
+    ]
+    simple = (m.flags[model] & FLAG_SIMPLE) != 0
+    mat = m.face_material[model, jnp.clip(res.face_id, 0, 5)]
+    if not scene.has_quad_models:
+        return mat, base_uv, base_normal, base_t
+
+    found, t_q, uv_q, mat_q, n_q = _quad_scan(
+        scene, origins, dirs, res.leaf_value, res.voxel_pos, res.voxel_size
+    )
+    use_q = res.hit & ~simple & found
+    mat = jnp.where(use_q, mat_q, mat)
+    uv = jnp.where(use_q[:, None], uv_q, base_uv)
+    normal = jnp.where(use_q[:, None], n_q, base_normal)
+    # quad hit t is measured from the ray origin in local frame == world frame
+    t = jnp.where(use_q, t_q, base_t)
+    return mat, uv, normal, t

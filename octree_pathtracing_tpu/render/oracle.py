@@ -95,14 +95,16 @@ def _mat_of_leaf(sc, leaf):
     return int(lm[min(int(leaf), len(lm) - 1)])
 
 
-def _null_accept(sc, cur_mat):
+def _alpha_accept(sc):
+    """Texel alpha test — the reference's Cuboid::intersect_texture gate
+    (cuboid.rs:73-90); a failing candidate falls through to ADVANCE.  (The
+    path-level null-material skip of path_tracer.rs:52-54 is subsumed: a hit
+    always has alpha > eps, so alpha+specular < eps can never fire.)"""
+
     def accept(leaf, face, u, v, t):
         mat = _mat_of_leaf(sc, leaf)
         alpha = _sample_atlas(sc, sc["texture_index"][mat], u, v)[3]
-        null = (alpha + sc["specular"][mat] < EPSILON) and (
-            sc["ior"][mat] == sc["ior"][cur_mat]
-        )
-        return not null
+        return alpha > EPSILON
 
     return accept
 
@@ -116,7 +118,7 @@ def _trace(sc, origin, direction, cur_mat):
         origin,
         direction,
         max_dst=1024.0,
-        accept_fn=_null_accept(sc, cur_mat),
+        accept_fn=_alpha_accept(sc),
     )
 
 

@@ -58,53 +58,39 @@ MAX_BOUNCES = 5  # path_tracer.rs:56
 SHADOW_MAX_SURFACES = 4
 
 
-def _material_of_leaf(scene: Scene, leaf_value):
-    return scene.leaf_material[
-        jnp.clip(leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
-    ]
-
-
 def _albedo_at(scene: Scene, mat_id, uv):
     layer = scene.materials.texture_index[mat_id]
     return sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
 
 
-def _null_skip_accept(scene: Scene, cur_mat):
-    """Accept fn reproducing the null-material pass-through
-    (``path_tracer.rs:52-54``): a leaf is invisible when alpha+specular < eps
-    and its IOR matches the medium the lane is currently in."""
-
-    def accept(leaf_value, face_id, uv, t):
-        mat = _material_of_leaf(scene, leaf_value)
-        alpha = _albedo_at(scene, mat, uv)[:, 3]
-        spec = scene.materials.specular[mat]
-        ior1 = scene.materials.ior[mat]
-        ior2 = scene.materials.ior[cur_mat]
-        null = (alpha + spec < EPSILON) & (ior1 == ior2)
-        return ~null
-
-    return accept
-
-
-def _trace(scene: Scene, origins, dirs, cur_mat):
+def _trace(scene: Scene, origins, dirs):
     """Traversal with the visibility structure detached from AD.
 
     All inputs are stop_gradient'ed so the while_loop carries no tangents:
     gradients flow through the *shading* chain (albedo/emittance gathers and
     the radiance arithmetic), never through discrete visibility — the
-    detached-traversal design of SURVEY.md §7.5."""
+    detached-traversal design of SURVEY.md §7.5.
+
+    Candidate acceptance (texel alpha / block-model intersection) lives in
+    ``render/hit.py``; a leaf whose model rejects the ray falls through to
+    ADVANCE exactly like ``octree_traversal.rs:192-215``.
+    """
+    from .hit import make_accept_fn
+
     sg = jax.lax.stop_gradient
     scene_sg = jax.tree.map(sg, scene)
     tree = scene_sg.octree
+    origins = sg(origins)
+    dirs = sg(dirs)
     return traverse(
         tree.child_mask,
         tree.child_data,
         tree.root,
         tree.scale(),
-        sg(origins),
-        sg(dirs),
+        origins,
+        dirs,
         max_dst=MAX_DIST,
-        accept_fn=None if scene.opaque_only else _null_skip_accept(scene_sg, cur_mat),
+        accept_fn=make_accept_fn(scene_sg, origins, dirs),
         depth=tree.depth,
     )
 
@@ -116,6 +102,8 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
     att.rgb *= albedo*alpha + (1-alpha); att.w *= (1-alpha); strict mode kills
     the ray on IOR change.  Returns (B, 4) attenuation.
     """
+    from .hit import resolve_hit
+
     b = origins.shape[0]
     att = jnp.ones((b, 4), jnp.float32)
     o = origins
@@ -124,10 +112,10 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
     for _ in range(SHADOW_MAX_SURFACES):
         alive = att[:, 3] > 0.0
         o = o + dirs * OFFSET
-        res = _trace(scene, o, dirs, cm)
+        res = _trace(scene, o, dirs)
         hit = res.hit & alive
-        mat = _material_of_leaf(scene, res.leaf_value)
-        albedo = _albedo_at(scene, mat, res.uv)
+        mat, uv, _, t_hit = resolve_hit(scene, o, dirs, res)
+        albedo = _albedo_at(scene, mat, uv)
         mult = 1.0 - albedo[:, 3]
         new_rgb = att[:, :3] * (albedo[:, :3] * albedo[:, 3:4] + mult[:, None])
         new_w = att[:, 3] * mult
@@ -137,7 +125,7 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
         att = jnp.where(
             hit[:, None], jnp.concatenate([new_rgb, new_w[:, None]], -1), att
         )
-        o = jnp.where(hit[:, None], o + dirs * res.t[:, None], o)
+        o = jnp.where(hit[:, None], o + dirs * t_hit[:, None], o)
         cm = jnp.where(hit, mat, cm)
     return att
 
@@ -149,7 +137,6 @@ def trace_paths(scene: Scene, origins, dirs, uniforms):
     ``ops/shading.py`` for the slot map).
     """
     b = origins.shape[0]
-    normals_lut = face_normals()
     strat = scene.sun_sampling
 
     state = dict(
@@ -163,13 +150,15 @@ def trace_paths(scene: Scene, origins, dirs, uniforms):
     )
 
     for bounce in range(MAX_BOUNCES):
-        state = _bounce(scene, state, uniforms[:, bounce, :], bounce, normals_lut)
+        state = _bounce(scene, state, uniforms[:, bounce, :], bounce)
     return state["radiance"]
 
 
-def _bounce(scene: Scene, st, u, bounce, normals_lut):
+def _bounce(scene: Scene, st, u, bounce):
+    from .hit import resolve_hit
+
     strat = scene.sun_sampling
-    res = _trace(scene, st["origin"], st["dir"], st["cur_mat"])
+    res = _trace(scene, st["origin"], st["dir"])
 
     active = st["active"]
     miss = active & ~res.hit
@@ -197,12 +186,11 @@ def _bounce(scene: Scene, st, u, bounce, normals_lut):
     new_active = can_scatter
 
     # ---- hit shading ----
-    mat = _material_of_leaf(scene, res.leaf_value)
+    mat, hit_uv, n, t_hit = resolve_hit(scene, st["origin"], st["dir"], res)
     m = scene.materials
-    albedo = _albedo_at(scene, mat, res.uv)
+    albedo = _albedo_at(scene, mat, hit_uv)
     alpha = albedo[:, 3]
-    n = normals_lut[jnp.clip(res.face_id, 0, 5)]
-    hitpoint = st["origin"] + st["dir"] * res.t[:, None]
+    hitpoint = st["origin"] + st["dir"] * t_hit[:, None]
 
     metal = m.metalness[mat]
     spec = m.specular[mat]

@@ -20,6 +20,8 @@ from ..ops.traversal import traverse
 
 def preview_render_rays(scene: Scene, origins, directions):
     """Preview-shade a ray batch; returns (B, 3) linear RGB."""
+    from .hit import make_accept_fn, resolve_hit
+
     tree = scene.octree
     res = traverse(
         tree.child_mask,
@@ -28,14 +30,12 @@ def preview_render_rays(scene: Scene, origins, directions):
         tree.scale(),
         origins,
         directions,
+        accept_fn=make_accept_fn(scene, origins, directions),
         depth=tree.depth,
     )
-    mat_id = scene.leaf_material[
-        jnp.clip(res.leaf_value.astype(jnp.int32), 0, scene.leaf_material.shape[0] - 1)
-    ]
+    mat_id, uv, normals, _t = resolve_hit(scene, origins, directions, res)
     layer = scene.materials.texture_index[mat_id]
-    albedo = sample_atlas(scene.atlas, layer, res.uv[:, 0], res.uv[:, 1])
-    normals = face_normals()[jnp.clip(res.face_id, 0, 5)]
+    albedo = sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
     shaded = flat_shading(scene.sun, normals, albedo[:, :3])
 
     sky = sky_color((origins.shape[0],))
