@@ -86,6 +86,64 @@ def get_rays(camera: Camera, xn, yn):
     return origins, dirs
 
 
+def get_rays_dof(camera: Camera, xn, yn, u1, u2):
+    """Thin-lens rays with depth of field: aperture-disk origins aimed at the
+    focal plane (``Camera::focus`` camera.rs:69-73 + ``defocus_disk_sample``
+    util.rs:98-101).  ``u1, u2``: (B,) uniforms for the lens sample."""
+    origins, dirs = get_rays(camera, xn, yn)
+    if float(camera.aperture) <= 0.0:
+        return origins, dirs
+    direction = jnp.asarray(camera.direction, jnp.float32)
+    up = jnp.asarray(camera.up, jnp.float32)
+    right = jnp.cross(direction, up)
+    focal_point = origins + dirs * camera.focal_distance
+    r = jnp.sqrt(u1) * camera.aperture
+    theta = 2.0 * np.pi * u2
+    offset = (
+        right[None, :] * (r * jnp.cos(theta))[:, None]
+        + up[None, :] * (r * jnp.sin(theta))[:, None]
+    )
+    new_origins = origins + offset
+    new_dirs = focal_point - new_origins
+    new_dirs = new_dirs / jnp.linalg.norm(new_dirs, axis=-1, keepdims=True)
+    return new_origins, new_dirs
+
+
+def move_camera(camera: Camera, forward=0.0, strafe=0.0, vertical=0.0) -> Camera:
+    """WASD/space/shift-style translation (camera.rs:87-114), programmatic."""
+    import dataclasses
+
+    d = jnp.asarray(camera.direction, jnp.float32)
+    up = jnp.asarray(camera.up, jnp.float32)
+    right = jnp.cross(d, up)
+    right = right / jnp.linalg.norm(right)
+    eye = (
+        jnp.asarray(camera.eye, jnp.float32)
+        + d * forward
+        + right * strafe
+        + jnp.array([0.0, 1.0, 0.0]) * vertical
+    )
+    return dataclasses.replace(camera, eye=eye)
+
+
+def rotate_camera(camera: Camera, yaw: float, pitch: float) -> Camera:
+    """Yaw/pitch orbit with the reference's ±80° pitch clamp and upright
+    up-vector reconstruction (camera.rs:118-142).  Angles are absolute."""
+    import dataclasses
+
+    pitch = float(np.clip(pitch, -np.radians(80.0), np.radians(80.0)))
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    direction = jnp.asarray([cp * sy, sp, cp * cy], jnp.float32)
+    direction = direction / jnp.linalg.norm(direction)
+    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(direction, world_up)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(right, direction)
+    up = up / jnp.linalg.norm(up)
+    return dataclasses.replace(camera, direction=direction, up=up)
+
+
 def pixel_grid_rays(camera: Camera, width: int, height: int, jitter=None):
     """Rays for the full pixel grid, row-major (y outer, x inner).
 

@@ -154,6 +154,98 @@ def trace_paths(scene: Scene, origins, dirs, uniforms):
     return state["radiance"]
 
 
+def sky_radiance(scene: Scene, dirs, bounce0_mask, specular_mask):
+    """Sky+sun color for miss rays (path_tracer.rs:26-37), (B, 3)."""
+    strat = scene.sun_sampling
+    sky = sky_color((dirs.shape[0],))
+    sky_specular = add_sun_color(scene.sun, dirs, sky)[:, :3]
+    if strat.diffuse_sun:
+        sky_diffuse = add_sun_color_diffuse(scene.sun, dirs, sky)[:, :3]
+    else:
+        sky_diffuse = sky[:, :3]
+    return jnp.where(
+        (bounce0_mask | specular_mask)[:, None], sky_specular, sky_diffuse
+    )
+
+
+def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
+    """Single-lobe scatter decision + outgoing ray for a resolved hit.
+
+    The shared core of the recursive integrator (path_tracer.rs:64-119 lobe
+    selection; specular/diffuse/refraction/transmission continuations) used
+    by both the bounce-loop integrator and the fused persistent-wavefront
+    kernel.  Returns a dict:
+
+      new_dir (B,3), tp_mult (B,3) [throughput multiplier], enters (B,)
+      [lane enters the hit material], clears_specular (B,), emit_rgb (B,3)
+      [emitted radiance, pre-throughput, already lobe-masked].
+    """
+    m = scene.materials
+    strat = scene.sun_sampling
+    alpha = albedo[:, 3]
+    metal = m.metalness[mat]
+    spec = m.specular[mat]
+    rough = m.roughness[mat]
+    emit = m.emittance[mat]
+    ior1 = m.ior[mat]
+    ior2 = m.ior[cur_mat]
+
+    do_metal = (metal > EPSILON) & (u[:, U_METAL] < metal)
+    do_spec = ~do_metal & (spec > EPSILON) & (u[:, U_SPECULAR] < spec)
+    do_diff = ~do_metal & ~do_spec & (u[:, U_DIFFUSE] < alpha)
+    do_refr = ~do_metal & ~do_spec & ~do_diff & (jnp.abs(ior1 - ior2) >= EPSILON)
+    do_trans = ~do_metal & ~do_spec & ~do_diff & ~do_refr
+
+    # emitter term (do_diffuse_reflection, path_tracer.rs:203-213)
+    if scene.emitters_enabled:
+        if scene.emitter_sampling == EmitterSampling.NONE:
+            emit_when = do_diff
+        else:
+            emit_when = do_diff & bounce0_mask
+    else:
+        emit_when = jnp.zeros_like(do_diff)
+    emit_cond = emit_when & (emit > EPSILON)
+    emit_rgb = jnp.where(
+        emit_cond[:, None], albedo[:, :3] * albedo[:, :3] * emit[:, None], 0.0
+    )
+
+    diff_dir, diff_w = diffuse_dir_and_weight(n, scene.sun, u, strat.importance_sampling)
+    spec_dir = specular_reflect_dir(d_in, n, rough, u)
+
+    refractive = (m.flags[mat] & FLAG_REFRACTIVE) != 0
+    ratio = ior1 / ior2
+    cos_theta = -jnp.sum(d_in * n, axis=-1)
+    radicand = 1.0 - ratio * ratio * (1.0 - cos_theta * cos_theta)
+    tir = refractive & (radicand < EPSILON)
+    refl_p = fresnel_schlick(ior1, ior2, cos_theta)
+    refr_reflect = do_refr & (tir | (u[:, U_FRESNEL] < refl_p))
+    refr_refract = do_refr & ~refr_reflect & refractive
+    refr_pass = do_refr & ~refr_reflect & ~refractive
+    refracted = refract_dir(d_in, n, ratio, cos_theta, radicand)
+
+    new_dir = d_in
+    new_dir = jnp.where((do_metal | do_spec | refr_reflect)[:, None], spec_dir, new_dir)
+    new_dir = jnp.where(do_diff[:, None], diff_dir, new_dir)
+    new_dir = jnp.where(refr_refract[:, None], refracted, new_dir)
+
+    tint = albedo[:, :3] * alpha[:, None]
+    tp_mult = jnp.ones_like(albedo[:, :3])
+    tp_mult = jnp.where(do_metal[:, None], albedo[:, :3], tp_mult)
+    tp_mult = jnp.where(
+        do_diff[:, None], albedo[:, :3] * diff_w[:, None], tp_mult
+    )
+    tp_mult = jnp.where((refr_refract | refr_pass | do_trans)[:, None], tint, tp_mult)
+
+    return dict(
+        new_dir=new_dir,
+        tp_mult=tp_mult,
+        enters=refr_refract | refr_pass | do_trans,
+        clears_specular=do_diff,
+        emit_rgb=emit_rgb,
+        do_diff=do_diff,
+    )
+
+
 def _bounce(scene: Scene, st, u, bounce):
     from .hit import resolve_hit
 
@@ -163,19 +255,11 @@ def _bounce(scene: Scene, st, u, bounce):
     active = st["active"]
     miss = active & ~res.hit
     hit = active & res.hit
+    b = st["dir"].shape[0]
+    bounce0 = jnp.full((b,), bounce == 0)
 
     # ---- sky on miss (path_tracer.rs:26-37) ----
-    d = st["dir"]
-    sky = sky_color((d.shape[0],))
-    sky_specular = add_sun_color(scene.sun, d, sky)[:, :3]
-    if strat.diffuse_sun:
-        sky_diffuse = add_sun_color_diffuse(scene.sun, d, sky)[:, :3]
-    else:
-        sky_diffuse = sky[:, :3]
-    if bounce == 0:  # direct sky hit always draws the sun (path_tracer.rs:26-29)
-        sky_rgb = sky_specular
-    else:
-        sky_rgb = jnp.where(st["specular"][:, None], sky_specular, sky_diffuse)
+    sky_rgb = sky_radiance(scene, st["dir"], bounce0, st["specular"])
     radiance = st["radiance"] + jnp.where(
         miss[:, None], st["throughput"] * sky_rgb, 0.0
     )
@@ -189,39 +273,16 @@ def _bounce(scene: Scene, st, u, bounce):
     mat, hit_uv, n, t_hit = resolve_hit(scene, st["origin"], st["dir"], res)
     m = scene.materials
     albedo = _albedo_at(scene, mat, hit_uv)
-    alpha = albedo[:, 3]
     hitpoint = st["origin"] + st["dir"] * t_hit[:, None]
 
-    metal = m.metalness[mat]
-    spec = m.specular[mat]
-    rough = m.roughness[mat]
-    emit = m.emittance[mat]
-    ior1 = m.ior[mat]
-    ior2 = m.ior[st["cur_mat"]]
-
-    do_metal = (metal > EPSILON) & (u[:, U_METAL] < metal)
-    do_spec = ~do_metal & (spec > EPSILON) & (u[:, U_SPECULAR] < spec)
-    do_diff = ~do_metal & ~do_spec & (u[:, U_DIFFUSE] < alpha)
-    do_refr = (
-        ~do_metal & ~do_spec & ~do_diff & (jnp.abs(ior1 - ior2) >= EPSILON)
+    sc = lobe_scatter(
+        scene, u, st["dir"], n, albedo, mat, st["cur_mat"], bounce0
     )
-    do_trans = ~do_metal & ~do_spec & ~do_diff & ~do_refr
-
-    # ---- diffuse lobe ----
-    emit_cond = (
-        do_diff
-        & can_scatter
-        & (emit > EPSILON)
-        & jnp.bool_(
-            scene.emitters_enabled
-            and (scene.emitter_sampling == EmitterSampling.NONE or bounce == 0)
-        )
-    )
-    emit_rgb = albedo[:, :3] * albedo[:, :3] * emit[:, None]  # squared albedo, :207-212
     radiance = radiance + jnp.where(
-        emit_cond[:, None], st["throughput"] * emit_rgb, 0.0
+        can_scatter[:, None], st["throughput"] * sc["emit_rgb"], 0.0
     )
 
+    # sun NEE on diffuse bounces (do_diffuse_reflection, path_tracer.rs:225-262)
     if strat.sun_sampling:
         sun_dir = random_sun_direction(scene.sun, u[:, U_SUN1], u[:, U_SUN2])
         front = jnp.sum(sun_dir * n, axis=-1) > 0.0
@@ -229,10 +290,8 @@ def _bounce(scene: Scene, st, u, bounce):
             ((m.flags[mat] & FLAG_SUBSURFACE_SCATTER) != 0)
             & (u[:, U_SUBSURFACE] < scene.f_sub_surface)
         )
-        shadow_on = do_diff & can_scatter & (front | sss)
-        shadow_origin = jnp.where(
-            front[:, None], hitpoint, hitpoint - OFFSET * n
-        )
+        shadow_on = sc["do_diff"] & can_scatter & (front | sss)
+        shadow_origin = jnp.where(front[:, None], hitpoint, hitpoint - OFFSET * n)
         att = shadow_attenuation(scene, shadow_origin, sun_dir, st["cur_mat"])
         lum = scene.sun.luminosity_pdf if strat.sun_luminosity else 1.0
         mult = jnp.abs(jnp.sum(sun_dir * n, axis=-1)) * lum * att[:, 3]
@@ -242,61 +301,18 @@ def _bounce(scene: Scene, st, u, bounce):
             shadow_on[:, None], st["throughput"] * nee, 0.0
         )
 
-    diff_dir, diff_w = diffuse_dir_and_weight(
-        n, scene.sun, u, strat.importance_sampling
-    )
-    diff_throughput = st["throughput"] * albedo[:, :3] * diff_w[:, None]
-
-    # ---- specular / metal lobe ----
-    spec_dir = specular_reflect_dir(st["dir"], n, rough, u)
-    metal_throughput = st["throughput"] * albedo[:, :3]
-
-    # ---- refraction lobe (path_tracer.rs:318-401) ----
-    refractive = (m.flags[mat] & FLAG_REFRACTIVE) != 0
-    ratio = ior1 / ior2
-    cos_theta = -jnp.sum(st["dir"] * n, axis=-1)
-    radicand = 1.0 - ratio * ratio * (1.0 - cos_theta * cos_theta)
-    tir = refractive & (radicand < EPSILON)
-    refl_p = fresnel_schlick(ior1, ior2, cos_theta)
-    refr_reflect = do_refr & (tir | (u[:, U_FRESNEL] < refl_p))
-    refr_refract = do_refr & ~refr_reflect & refractive
-    refr_pass = do_refr & ~refr_reflect & ~refractive
-    refracted = refract_dir(st["dir"], n, ratio, cos_theta, radicand)
-    tint = albedo[:, :3] * alpha[:, None]
-
-    # ---- merge ----
-    new_dir = st["dir"]
-    new_dir = jnp.where((do_metal | do_spec | refr_reflect)[:, None], spec_dir, new_dir)
-    new_dir = jnp.where(do_diff[:, None], diff_dir, new_dir)
-    new_dir = jnp.where(refr_refract[:, None], refracted, new_dir)
-    # transmission / refr_pass keep the direction
-
-    new_throughput = st["throughput"]
-    new_throughput = jnp.where(do_metal[:, None], metal_throughput, new_throughput)
-    new_throughput = jnp.where(do_diff[:, None], diff_throughput, new_throughput)
-    new_throughput = jnp.where(
-        (refr_refract | refr_pass | do_trans)[:, None],
-        st["throughput"] * tint,
-        new_throughput,
-    )
-
-    new_cur = st["cur_mat"]
-    enters = refr_refract | refr_pass | do_trans
-    new_cur = jnp.where(enters, mat, new_cur)
-
-    new_specular = jnp.where(do_diff, False, st["specular"])
-
-    new_origin = hitpoint + new_dir * OFFSET
-
+    new_origin = hitpoint + sc["new_dir"] * OFFSET
     upd = can_scatter
     return dict(
         origin=jnp.where(upd[:, None], new_origin, st["origin"]),
-        dir=jnp.where(upd[:, None], new_dir, st["dir"]),
-        throughput=jnp.where(upd[:, None], new_throughput, st["throughput"]),
+        dir=jnp.where(upd[:, None], sc["new_dir"], st["dir"]),
+        throughput=jnp.where(
+            upd[:, None], st["throughput"] * sc["tp_mult"], st["throughput"]
+        ),
         radiance=radiance,
         active=new_active,
-        specular=jnp.where(upd, new_specular, st["specular"]),
-        cur_mat=jnp.where(upd, new_cur, st["cur_mat"]),
+        specular=jnp.where(upd & sc["clears_specular"], False, st["specular"]),
+        cur_mat=jnp.where(upd & sc["enters"], mat, st["cur_mat"]),
     )
 
 
