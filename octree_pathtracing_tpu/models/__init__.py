@@ -1,8 +1,19 @@
-from .camera import Camera, get_rays, pixel_grid_rays, normalize_pixel_coords
+from .camera import (
+    Camera,
+    get_rays,
+    get_rays_dof,
+    move_camera,
+    normalize_pixel_coords,
+    pixel_grid_rays,
+    rotate_camera,
+)
 from .materials import MaterialTable, make_material_table, air
 from .scene import Scene, make_scene, face_normals, MAX_DIST, EmitterSampling
 from .sun import Sun, SunSampling, make_sun, sky_color
-from .procedural import sphere_scene, cornell_scene, minecraft_chunk_scene
+from .procedural import sphere_scene, cornell_scene, minecraft_chunk_scene, terrain_grid
+from .blockmodels import BlockModels, ModelBuilder, cross_plant_quads, slab_quads
+from .mca import load_world, build_region_octree
+from .blockpalette import compile_block_palette, minecraft_scene_from_region
 
 __all__ = [
     "Camera",

@@ -219,30 +219,89 @@ def build_region_octree(
     return build_octree(coords, values, depth), blockstate_map
 
 
+def _region_coords_from_name(name: str) -> tuple[int, int]:
+    """'r.X.Z.mca' -> (X, Z); unknown names map to (0, 0)."""
+    parts = os.path.basename(name).split(".")
+    try:
+        return int(parts[1]), int(parts[2])
+    except (IndexError, ValueError):
+        return 0, 0
+
+
 def load_world(
     path: str,
     origin=None,
     depth: int = REGION_OCTREE_DEPTH,
     blockstate_map: dict[str, int] | None = None,
+    use_native: bool = True,
 ):
     """Load a world directory or single region file into one octree.
 
     The ``load_world(path, origin, depth)`` API of SURVEY.md §2
-    (world-loading dialog row).  For a directory, reads ``region/*.mca``
-    (currently the first region; multi-region stitching via ``expand_by`` is
-    a follow-up).
+    (world-loading dialog row).  A directory loads every ``region/*.mca``,
+    stitching regions by their r.X.Z grid coordinates into one octree (the
+    multi-region analog of the reference's per-region build, with the world
+    re-based to the loaded bounding box's min corner).
     """
     if os.path.isdir(path):
         region_dir = os.path.join(path, "region")
         if not os.path.isdir(region_dir):
             region_dir = path
-        mca = sorted(f for f in os.listdir(region_dir) if f.endswith(".mca"))
-        if not mca:
+        files = sorted(f for f in os.listdir(region_dir) if f.endswith(".mca"))
+        if not files:
             raise FileNotFoundError(f"no .mca files under {region_dir}")
-        path = os.path.join(region_dir, mca[0])
-    with open(path, "rb") as f:
-        buf = f.read()
-    return build_region_octree(buf, blockstate_map, depth)
+        paths = [os.path.join(region_dir, f) for f in files]
+    else:
+        paths = [path]
+
+    if len(paths) == 1:
+        with open(paths[0], "rb") as f:
+            return build_region_octree(f.read(), blockstate_map, depth, use_native)
+
+    # multi-region stitch: gather voxels in world coords, re-base, one build
+    if blockstate_map is None:
+        blockstate_map = {}
+    all_coords, all_vals = [], []
+    li = np.arange(4096)
+    lx = (li & 0xF).astype(np.int64)
+    lz = ((li >> 4) & 0xF).astype(np.int64)
+    ly = (li >> 8).astype(np.int64)
+    coords_rxz = [_region_coords_from_name(p) for p in paths]
+    min_rx = min(c[0] for c in coords_rxz)
+    min_rz = min(c[1] for c in coords_rxz)
+    for p, (rx, rz) in zip(paths, coords_rxz):
+        with open(p, "rb") as f:
+            buf = f.read()
+        sections = None
+        if use_native:
+            try:
+                from .native import parse_region_native
+
+                sections = parse_region_native(buf)
+            except Exception:
+                sections = None
+        if sections is None:
+            sections = parse_region_bytes(buf)
+        remapped, blockstate_map = remap_sections(sections, blockstate_map)
+        ox = (rx - min_rx) * 512
+        oz = (rz - min_rz) * 512
+        for sec, mapped in remapped:
+            vals = mapped[sec.indices]
+            nz = np.nonzero(vals)[0]
+            if nz.size == 0:
+                continue
+            x = ox + sec.chunk_x * SECTION_W + lx[nz]
+            y = sec.y_pos * SECTION_W + ly[nz]
+            z = oz + sec.chunk_z * SECTION_W + lz[nz]
+            all_coords.append(np.stack([x, y, z], -1))
+            all_vals.append(vals[nz])
+    if not all_coords:
+        return None, blockstate_map
+    coords = np.concatenate(all_coords)
+    values = np.concatenate(all_vals)
+    span = int(coords.max()) + 1
+    world_depth = max(depth, int(np.ceil(np.log2(max(span, 2)))))
+    return build_octree(coords, values, world_depth), blockstate_map
 
 
 # ---------------- fixture synthesis (tests) ----------------

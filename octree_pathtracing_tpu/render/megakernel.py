@@ -36,7 +36,7 @@ from .hit import make_accept_fn, resolve_hit
 from .pathtracer import MAX_BOUNCES, _albedo_at, lobe_scatter, sky_radiance
 
 DONE = 3  # extends the traversal's ACTIVE/CANDIDATE/MISS lane statuses
-SHADE_FRACTION = 0.5
+SHADE_FRACTION = 0.35
 GLOBAL_STEP_CAP = T.MAX_STEPS * MAX_BOUNCES
 
 
@@ -214,9 +214,11 @@ def trace_paths_fused(scene: Scene, origins, dirs, uniforms):
 
         in_flight = carry.status == T.ACTIVE
         ready = (carry.status == T.CANDIDATE) | (carry.status == T.MISS)
-        n_live = jnp.sum(in_flight) + jnp.sum(ready)
+        # shade when a large absolute share of the batch is parked (bounds the
+        # number of shade events at ~bounces/fraction) or nothing is in flight
+        b_total = carry.status.shape[0]
         shade_now = (
-            jnp.sum(ready) >= SHADE_FRACTION * jnp.maximum(n_live, 1)
+            jnp.sum(ready) >= jnp.int32(SHADE_FRACTION * b_total)
         ) | (~jnp.any(in_flight) & jnp.any(ready))
         return lax.cond(shade_now, shade, lambda x: x, st)
 
