@@ -29,7 +29,7 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     depth = int(os.environ.get("BENCH_DEPTH", 9 if on_tpu else 5))
-    res = int(os.environ.get("BENCH_RES", 512 if on_tpu else 64))
+    res = int(os.environ.get("BENCH_RES", 256 if on_tpu else 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
     from octree_pathtracing_tpu.models import minecraft_chunk_scene
@@ -39,7 +39,9 @@ def main():
     from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
 
     t0 = time.time()
-    scene, cam = minecraft_chunk_scene(depth=depth)
+    scene, cam = minecraft_chunk_scene(
+        depth=depth, cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    )
     build_s = time.time() - t0
 
     origins, dirs = pixel_grid_rays(cam, res, res)

@@ -147,12 +147,17 @@ def terrain_grid(depth: int, seed: int = 0) -> np.ndarray:
         + np.cos(hz)[None, :] * (s / 16)
         + rng.normal(0, max(0.5, s / 64), (s, s))
     ).astype(np.int64).clip(2, s - 3)
-    yy = np.arange(s)[None, :, None]
-    h = height[:, None, :]
+    # slab-by-slab assembly: small cache-resident temporaries instead of
+    # whole-volume broadcast chains (hosts here are memory-bandwidth-poor)
     grid = np.zeros((s, s, s), np.uint32)
-    grid = np.where(yy < h - 2, STONE, grid)
-    grid = np.where((yy >= h - 2) & (yy < h), DIRT, grid)
-    grid = np.where(yy == h, GRASS, grid).astype(np.uint32)
+    h16 = height.astype(np.int16)
+    for y in range(s):
+        slab = (
+            (y < h16 - 2) * np.uint32(STONE)
+            + ((y >= h16 - 2) & (y < h16)) * np.uint32(DIRT)
+            + (y == h16) * np.uint32(GRASS)
+        )
+        grid[:, y, :] = slab
     # glowstone scattered above ground
     n_glow = max(2, s // 4)
     gx = rng.integers(0, s, n_glow)
@@ -163,11 +168,36 @@ def terrain_grid(depth: int, seed: int = 0) -> np.ndarray:
     return grid
 
 
-def minecraft_chunk_scene(depth: int = 5, seed: int = 0):
+def minecraft_chunk_scene(depth: int = 5, seed: int = 0, cache_dir: str | None = None):
     """Config 3: Minecraft-ish terrain chunk — grass/dirt/stone heightfield,
-    scattered emissive glowstone, a water pool."""
+    scattered emissive glowstone, a water pool.
+
+    ``cache_dir``: optional directory to cache the built node pool (large
+    depths take minutes of host time on bandwidth-poor machines).
+    """
+    import os
+
     s = 1 << depth
-    tree = build_from_dense(terrain_grid(depth, seed))
+    tree = None
+    cache_path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"terrain_d{depth}_s{seed}.npz")
+        if os.path.exists(cache_path):
+            from ..octree.node_pool import Octree
+
+            z = np.load(cache_path)
+            tree = Octree(z["mask"], z["data"], int(z["root"]), int(z["depth"]))
+    if tree is None:
+        tree = build_from_dense(terrain_grid(depth, seed))
+        if cache_path:
+            np.savez_compressed(
+                cache_path,
+                mask=np.asarray(tree.child_mask),
+                data=np.asarray(tree.child_data),
+                root=tree.root,
+                depth=tree.depth,
+            )
 
     textures = [
         _solid_texture((255, 0, 255)),

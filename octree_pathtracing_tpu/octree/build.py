@@ -44,8 +44,14 @@ def build_octree(coords: np.ndarray, values: np.ndarray, depth: int) -> Octree:
     return build_octree_from_codes(codes, values, depth)
 
 
-def build_octree_from_codes(codes: np.ndarray, values: np.ndarray, depth: int) -> Octree:
-    """Build from precomputed Morton codes (last write wins on duplicates)."""
+def build_octree_from_codes(
+    codes: np.ndarray, values: np.ndarray, depth: int, presorted: bool = False
+) -> Octree:
+    """Build from precomputed Morton codes (last write wins on duplicates).
+
+    ``presorted=True`` skips the sort (dense-grid flattening emits codes in
+    Morton order already) — on bandwidth-poor hosts the sort dominates.
+    """
     codes = np.asarray(codes, dtype=np.uint64)
     values = np.asarray(values, dtype=np.uint32)
     if codes.size == 0:
@@ -56,12 +62,13 @@ def build_octree_from_codes(codes: np.ndarray, values: np.ndarray, depth: int) -
             root=0,
             depth=depth,
         )
-    order = np.argsort(codes, kind="stable")
-    codes, values = codes[order], values[order]
-    # Deduplicate, keeping the last occurrence of each code.
-    last = np.ones(codes.shape[0], dtype=bool)
-    last[:-1] = codes[:-1] != codes[1:]
-    codes, values = codes[last], values[last]
+    if not presorted:
+        order = np.argsort(codes, kind="stable")
+        codes, values = codes[order], values[order]
+        # Deduplicate, keeping the last occurrence of each code.
+        last = np.ones(codes.shape[0], dtype=bool)
+        last[:-1] = codes[:-1] != codes[1:]
+        codes, values = codes[last], values[last]
 
     masks: list[np.ndarray] = []
     datas: list[np.ndarray] = []
@@ -72,7 +79,15 @@ def build_octree_from_codes(codes: np.ndarray, values: np.ndarray, depth: int) -
     for _level in range(depth, 0, -1):
         parent = codes >> np.uint64(3)
         slot = (codes & np.uint64(7)).astype(np.int64)
-        uniq, start = np.unique(parent, return_index=True)
+        # group boundaries on the (sorted) parent stream — O(n), avoids
+        # np.unique's internal re-sort which dominates on slow hosts
+        if parent.shape[0] == 1:
+            start = np.zeros(1, np.int64)
+        else:
+            start = np.concatenate(
+                [np.zeros(1, np.int64), np.flatnonzero(parent[1:] != parent[:-1]) + 1]
+            )
+        uniq = parent[start]
         g = uniq.shape[0]
         group_id = np.repeat(
             np.arange(g, dtype=np.int64), np.diff(np.append(start, codes.shape[0]))
@@ -134,8 +149,9 @@ def build_from_dense(grid: np.ndarray, depth: int | None = None) -> Octree:
         depth = d
     assert depth == d
     mvals = morton_order_dense(grid)
-    codes = np.nonzero(mvals)[0].astype(np.uint64)
-    return build_octree_from_codes(codes, mvals[codes], depth)
+    codes = np.flatnonzero(mvals).astype(np.uint64)
+    # Morton-order flattening emits codes already sorted and unique
+    return build_octree_from_codes(codes, mvals[codes], depth, presorted=True)
 
 
 def expand_by(tree: Octree, extra_depth: int) -> Octree:

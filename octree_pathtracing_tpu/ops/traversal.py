@@ -249,9 +249,16 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
     pop_miss = pop_needed & (p_scale >= MAX_SCALE)
     p_scale_c = jnp.clip(p_scale, scale_base, MAX_SCALE - 1)
     p_rel = p_scale_c - scale_base
-    p_scale_exp2 = jnp.exp2((p_scale_c - MAX_SCALE).astype(_f32))
-    p_parent = jnp.take_along_axis(stack_idx, p_rel[None, :], 0)[0]
-    p_t_max = jnp.take_along_axis(stack_t, p_rel[None, :], 0)[0]
+    # exp2(p_scale - 23) via exponent-field construction (no transcendental)
+    p_scale_exp2 = _fbits(((p_scale_c - MAX_SCALE + 127) << 23).astype(_u32))
+    # stack read as a select chain over the (few) rows — take_along_axis
+    # would lower to a gather op, whose per-op cost dominates the loop on TPU
+    p_parent = stack_idx[0]
+    p_t_max = stack_t[0]
+    for r in range(1, stack_idx.shape[0]):
+        sel_r = p_rel == r
+        p_parent = jnp.where(sel_r, stack_idx[r], p_parent)
+        p_t_max = jnp.where(sel_r, stack_t[r], p_t_max)
     sh = (_bits(adv_pos) >> p_scale_c[None, :].astype(_u32)).astype(jnp.int32)
     p_pos = _fbits((sh << p_scale_c[None, :]).astype(_u32))
     p_index = (sh[0] & 1) | ((sh[1] & 1) << 1) | ((sh[2] & 1) << 2)
