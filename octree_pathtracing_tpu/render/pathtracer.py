@@ -130,14 +130,12 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
     return att
 
 
-def trace_paths(scene: Scene, origins, dirs, uniforms):
-    """Trace a lane batch to completion; returns (B, 3) linear radiance.
+TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
-    ``uniforms``: (B, MAX_BOUNCES, N_UNIFORMS) pre-drawn uniform block (see
-    ``ops/shading.py`` for the slot map).
-    """
+
+def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
+    """The untiled integrator over one contiguous lane block."""
     b = origins.shape[0]
-    strat = scene.sun_sampling
 
     state = dict(
         origin=origins.astype(jnp.float32),
@@ -152,6 +150,42 @@ def trace_paths(scene: Scene, origins, dirs, uniforms):
     for bounce in range(MAX_BOUNCES):
         state = _bounce(scene, state, uniforms[:, bounce, :], bounce)
     return state["radiance"]
+
+
+def _auto_tiles(b: int) -> int:
+    t = max(1, b // TILE_LANES)
+    while t > 1 and b % t:
+        t //= 2
+    return t
+
+
+def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto"):
+    """Trace a lane batch to completion; returns (B, 3) linear radiance.
+
+    ``uniforms``: (B, MAX_BOUNCES, N_UNIFORMS) pre-drawn uniform block (see
+    ``ops/shading.py`` for the slot map).
+
+    ``tiles``: split the batch into this many sequentially-traced tiles
+    (``lax.map``), each with its own bounce/traversal loops.  A tile's
+    lockstep ``while_loop`` exits at the tile's own max step count instead of
+    the whole batch's — pixel-order lanes are spatially coherent, so tiles of
+    ~``TILE_LANES`` lanes cut the straggler tax 2.4-2.6x on a 512^3 scene
+    (TPU v5e measurement; the gather engine is row-rate-bound, so smaller
+    batches lose no throughput).  ``"auto"`` targets TILE_LANES-lane tiles;
+    pass 1 to disable.  Semantics are tile-count independent (per-lane RNG).
+    """
+    b = origins.shape[0]
+    t = _auto_tiles(b) if tiles == "auto" else max(1, int(tiles))
+    if t <= 1 or b % t:
+        return _trace_paths_block(scene, origins, dirs, uniforms)
+    bt = b // t
+    o = origins.reshape(t, bt, 3)
+    d = dirs.reshape(t, bt, 3)
+    u = uniforms.reshape((t, bt) + uniforms.shape[1:])
+    out = jax.lax.map(
+        lambda xs: _trace_paths_block(scene, xs[0], xs[1], xs[2]), (o, d, u)
+    )
+    return out.reshape(b, 3)
 
 
 def sky_radiance(scene: Scene, dirs, bounce0_mask, specular_mask):
