@@ -58,13 +58,17 @@ def cmd_render(args):
         load_render_checkpoint(args.resume, r)
     while True:
         t0 = time.time()
+        spp_before = r.spp
         if not r.step():
             break
         import jax
 
         jax.block_until_ready(r.framebuffer)
         METRICS.render_pass(
-            spp_added=0, total_spp=r.spp, lanes=args.width * args.height, wall_s=time.time() - t0
+            spp_added=r.spp - spp_before,
+            total_spp=r.spp,
+            lanes=args.width * args.height,
+            wall_s=time.time() - t0,
         )
     if args.checkpoint:
         from .io.checkpoint import save_render_checkpoint

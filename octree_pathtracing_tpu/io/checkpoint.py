@@ -64,7 +64,9 @@ def load_render_checkpoint(path: str, renderer) -> dict:
         renderer.current_spp = jnp.asarray(z["current_spp"])
         renderer._pass_index = int(z["pass_index"])
         renderer.seed = int(z["seed"])
-        renderer.target_spp = meta["target_spp"]
+        # target_spp is configuration, not progressive state: the caller's
+        # requested target wins (resuming a 4-spp checkpoint with --spp 8
+        # must render 4 more), so it is saved in meta only for inspection.
         extra_flat = {
             k[len("extra.") :]: z[k] for k in z.files if k.startswith("extra.")
         }

@@ -40,7 +40,7 @@ def branch_schedule(current_spp: int, branch_count: int) -> int:
     return branch_count
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp_this_pass"))
+@partial(jax.jit, static_argnames=("width", "height"))
 def render_pass(
     scene: Scene,
     camera: Camera,
@@ -49,21 +49,31 @@ def render_pass(
     key: jnp.ndarray,
     width: int,
     height: int,
-    spp_this_pass: int,
+    spp_this_pass,
 ):
     """One progressive pass: ``spp_this_pass`` jittered samples per pixel,
-    folded into the running average.  Returns (framebuffer, new_spp)."""
+    folded into the running average.  Returns (framebuffer, new_spp).
+
+    ``spp_this_pass`` is a *dynamic* count (``fori_loop``), so the branch
+    warmup schedule — which emits a different sample count nearly every pass
+    (``tile_renderer.rs:196-206``) — reuses one compiled executable instead
+    of recompiling per distinct count.
+    """
     n_px = width * height
     dim = float(max(width, height))
-    new_color = jnp.zeros((n_px, 3), jnp.float32)
-    for s in range(spp_this_pass):
-        k_jit, k_path, key = jax.random.split(jax.random.fold_in(key, s), 3)
+
+    def body(s, acc):
+        k_jit, k_path = jax.random.split(jax.random.fold_in(key, s))
         jitter = jax.random.uniform(
             k_jit, (n_px, 2), minval=-1.0 / dim, maxval=1.0 / dim
         )
         origins, dirs = pixel_grid_rays(camera, width, height, jitter)
         u = draw_uniforms(k_path, n_px)
-        new_color = new_color + trace_paths(scene, origins, dirs, u)
+        return acc + trace_paths(scene, origins, dirs, u)
+
+    new_color = jax.lax.fori_loop(
+        0, spp_this_pass, body, jnp.zeros((n_px, 3), jnp.float32)
+    )
 
     spp_f = current_spp.astype(jnp.float32)
     s_inv = 1.0 / (spp_f + spp_this_pass)
