@@ -29,6 +29,12 @@ reference's "model intersection failed -> fall through to ADVANCE" semantics
 (``octree_traversal.rs:192-215``) for alpha-tested leaves: rejected candidates
 re-enter the loop with a one-step forced ADVANCE.
 
+With ``accept_state`` the callback becomes stateful —
+``accept_fn(state, ...) -> (ok, state)`` — letting one traversal implement
+multi-surface walks (the shadow-ray attenuation march of
+``path_tracer.rs:458-483``) by collecting each rejected surface into the
+carried state instead of relaunching a fresh traversal per surface.
+
 Validated lane-for-lane against ``octree.traversal_ref.traverse_oracle``.
 """
 
@@ -84,6 +90,7 @@ class Carry(NamedTuple):
     status: jnp.ndarray  # (B,) int32
     reject: jnp.ndarray  # (B,) bool
     step: jnp.ndarray  # () int32
+    user: tuple  # accept_state pytree (possibly empty)
 
 
 class HitResult(NamedTuple):
@@ -152,6 +159,7 @@ def _init(root, octree_scale, origins, directions, max_dst, stack_rows):
         status=zi,
         reject=zi != 0,
         step=jnp.int32(0),
+        user=(),
     )
     return consts, carry
 
@@ -308,6 +316,7 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
         status=status,
         reject=jnp.where(active, False, s.reject),
         step=s.step + 1,
+        user=s.user,
     )
 
 
@@ -373,7 +382,8 @@ def traverse(
     max_dst: float = 1024.0,
     accept_fn: Optional[Callable] = None,
     depth: Optional[int] = None,
-) -> HitResult:
+    accept_state=None,
+):
     """Trace a ray batch to its first (accepted) leaf hits.
 
     ``accept_fn(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size) ->
@@ -382,6 +392,14 @@ def traverse(
     resume with a forced ADVANCE, reproducing ``octree_traversal.rs:192-215``'s
     fall-through.  ``None`` accepts all.  ``voxel_pos``/``voxel_size`` are
     world-space (the leaf's min corner and side).
+
+    With ``accept_state`` (an initial pytree of (B, ...) arrays) the callback
+    is stateful: ``accept_fn(state, leaf_value, ...) -> ((B,) ok, state)``.
+    The state is threaded through the traversal carry and the call returns
+    ``(HitResult, final_state)`` instead of just ``HitResult`` — one
+    traversal can then record every surface it falls through (shadow
+    attenuation walks).  Everything inside the loop is non-differentiable;
+    recompute any gradient-bearing quantity from the recorded state outside.
 
     ``depth``: static octree depth; sizes the per-lane stacks (defaults to
     the max 23 when unknown).
@@ -393,6 +411,9 @@ def traverse(
     )
     nodes_packed = pack_nodes(child_mask, child_data)
     inv_scale = 1.0 / octree_scale
+    stateful = accept_state is not None
+    if stateful:
+        carry0 = carry0._replace(user=accept_state)
 
     def cond(s):
         return jnp.any(s.status == ACTIVE) & (s.step < MAX_STEPS)
@@ -410,7 +431,7 @@ def traverse(
             fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
             face, uu, vv, unmirrored_pos = _hit_info(consts, s)
             leaf = _leaf_value(nodes_packed, consts, s)
-            ok = accept_fn(
+            args = (
                 leaf.astype(_u32),
                 face,
                 jnp.stack([uu, vv], axis=-1),
@@ -418,6 +439,11 @@ def traverse(
                 ((unmirrored_pos - 1.0) * inv_scale).T,
                 s.scale_exp2 * inv_scale,
             )
+            if stateful:
+                ok, user = accept_fn(s.user, *args, fresh=fresh)
+                s = s._replace(user=user)
+            else:
+                ok = accept_fn(*args)
             rej = fresh & ~ok
             return s._replace(
                 status=jnp.where(rej, ACTIVE, s.status),
@@ -429,7 +455,7 @@ def traverse(
     hit = s.status == CANDIDATE
     face, uu, vv, unmirrored_pos = _hit_info(consts, s)
     leaf = _leaf_value(nodes_packed, consts, s)
-    return HitResult(
+    res = HitResult(
         hit=hit,
         t=jnp.where(hit, s.t_min * inv_scale, jnp.inf),
         face_id=jnp.where(hit, face, -1),
@@ -439,3 +465,6 @@ def traverse(
         voxel_size=s.scale_exp2 * inv_scale,
         steps=s.step,
     )
+    if stateful:
+        return res, s.user
+    return res

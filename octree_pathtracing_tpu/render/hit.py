@@ -97,6 +97,95 @@ def make_accept_fn(scene: Scene, origins, dirs):
     return accept
 
 
+def _surface_of_candidate(scene: Scene, origins, dirs, leaf_value, face_id, uv,
+                          voxel_pos, voxel_size):
+    """Resolve a traversal candidate to its surface (is_surface, mat, uu, vv).
+
+    The shared logic of ``make_accept_fn`` + ``resolve_hit`` for one
+    candidate: cube-face material/uv for leaf and simple models, nearest
+    accepted quad for quad models.  is_surface applies the texel alpha test
+    (``Cuboid::intersect_texture`` semantics).
+    """
+    if scene.models is None:
+        mat = _leaf_mat(scene, leaf_value)
+        is_surface = _albedo(scene, mat, uv)[:, 3] > EPSILON
+        return is_surface, mat, uv[:, 0], uv[:, 1]
+    m = scene.models
+    model = m.leaf_model[
+        jnp.clip(leaf_value.astype(jnp.int32), 0, m.leaf_model.shape[0] - 1)
+    ]
+    simple = (m.flags[model] & FLAG_SIMPLE) != 0
+    mat = m.face_material[model, jnp.clip(face_id, 0, 5)]
+    ok_simple = _albedo(scene, mat, uv)[:, 3] > EPSILON
+    if not scene.has_quad_models:
+        return ok_simple, mat, uv[:, 0], uv[:, 1]
+    found, _, uv_q, mat_q, _ = _quad_scan(
+        scene, origins, dirs, leaf_value, voxel_pos, voxel_size
+    )
+    is_surface = jnp.where(simple, ok_simple, found)
+    mat = jnp.where(simple, mat, mat_q)
+    uu = jnp.where(simple, uv[:, 0], uv_q[:, 0])
+    vv = jnp.where(simple, uv[:, 1], uv_q[:, 1])
+    return is_surface, mat, uu, vv
+
+
+def shadow_state_init(cur_mat, n_surfaces: int):
+    """Initial accept_state for the one-traversal shadow attenuation walk."""
+    b = cur_mat.shape[0]
+    return dict(
+        count=jnp.zeros((b,), jnp.int32),
+        w=jnp.ones((b,), jnp.float32),
+        cm=cur_mat.astype(jnp.int32),
+        mats=jnp.zeros((n_surfaces, b), jnp.int32),
+        uu=jnp.zeros((n_surfaces, b), jnp.float32),
+        vv=jnp.zeros((n_surfaces, b), jnp.float32),
+    )
+
+
+def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
+    """Stateful accept: record each alpha surface the shadow ray crosses.
+
+    One traversal replaces the reference's re-march per surface
+    (``path_tracer.rs:458-483``): a surface candidate is *recorded* into the
+    state and rejected (fall-through ADVANCE continues the walk) until the
+    running alpha budget hits zero or the surface cap fills — then accepted,
+    ending the lane.  Attenuation itself is recomputed differentiably from
+    the recorded (mat, uv) list outside the loop (``shadow_attenuation``);
+    the in-loop ``w`` is control flow only (everything here is detached).
+    """
+
+    def accept(state, leaf_value, face_id, uv, t_world, voxel_pos, voxel_size,
+               fresh):
+        is_surface, mat, uu, vv = _surface_of_candidate(
+            scene, origins, dirs, leaf_value, face_id, uv, voxel_pos, voxel_size
+        )
+        is_surface = fresh & is_surface
+        alpha = _albedo(scene, mat, jnp.stack([uu, vv], -1))[:, 3]
+        new_w = state["w"] * (1.0 - alpha)
+        if strict:
+            ior_change = (
+                scene.materials.ior[state["cm"]] != scene.materials.ior[mat]
+            )
+            new_w = jnp.where(ior_change, 0.0, new_w)
+        n_rows = state["mats"].shape[0]
+        rows = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+        sel = is_surface[None, :] & (rows == state["count"][None, :])
+        count = state["count"] + is_surface.astype(jnp.int32)
+        w = jnp.where(is_surface, new_w, state["w"])
+        stop = is_surface & ((count >= n_rows) | (w <= 0.0))
+        new_state = dict(
+            count=count,
+            w=w,
+            cm=jnp.where(is_surface, mat, state["cm"]),
+            mats=jnp.where(sel, mat[None, :], state["mats"]),
+            uu=jnp.where(sel, uu[None, :], state["uu"]),
+            vv=jnp.where(sel, vv[None, :], state["vv"]),
+        )
+        return stop, new_state
+
+    return accept
+
+
 def resolve_hit(scene: Scene, origins, dirs, res):
     """Final hit attributes for accepted candidates.
 

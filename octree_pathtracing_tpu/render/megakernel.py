@@ -69,6 +69,7 @@ def _merge_carry(mask_b, new: T.Carry, old: T.Carry) -> T.Carry:
         status=jnp.where(mask_b, new.status, old.status),
         reject=jnp.where(mask_b, new.reject, old.reject),
         step=old.step,
+        user=old.user,
     )
 
 
