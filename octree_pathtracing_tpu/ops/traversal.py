@@ -50,7 +50,7 @@ MAX_STEPS = 1000
 MAX_SCALE = 23
 EPSILON = 1.1920929e-7  # 2^-23
 
-ACTIVE, CANDIDATE, MISS = 0, 1, 2
+ACTIVE, CANDIDATE, MISS, BRICK = 0, 1, 2, 3
 
 _u32 = jnp.uint32
 _f32 = jnp.float32
@@ -184,7 +184,7 @@ def _mux8(slot, cols):
     return jnp.where(s2, b1, b0)
 
 
-def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
+def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
     """One lockstep iteration of the ESVO loop over the whole batch.
 
     ``nodes_packed``: (N, 8) int32 — one word per child slot: low 30 bits =
@@ -194,6 +194,12 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
 
     ``scale_base`` = MAX_SCALE - depth: stack rows are indexed by
     ``scale - scale_base`` (the only scales a depth-deep tree can visit).
+
+    ``brick_bit``: when set (brick-leaf pools, ``octree/brick.py``), a leaf
+    word with that value bit becomes status=BRICK (frozen for the DDA phase
+    of ``ops/brick_traversal.py``) instead of CANDIDATE.  Brick entry does
+    not require ``t_min > 0``: a ray starting inside a brick must still DDA
+    its tail cells (the per-cell t>0 check applies instead).
     """
     active = s.status == ACTIVE
 
@@ -212,12 +218,20 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
 
     valid = present & (s.t_min <= s.t_max)
     is_hit = active & ~dist_miss & valid & leafb & (s.t_min > 0.0) & ~s.reject
+    if brick_bit is not None:
+        brickf = (value & jnp.int32(brick_bit)) != 0
+        brick_hit = active & ~dist_miss & valid & leafb & brickf & ~s.reject
+        is_hit = is_hit & ~brickf
+    else:
+        brick_hit = None
 
     half = s.scale_exp2 * 0.5
     t_center = half[None, :] * c.t_coef + t_corner
     tv_max = jnp.minimum(s.t_max, tc_max)
     do_push = active & ~dist_miss & valid & ~leafb & (s.t_min <= tv_max) & ~s.reject
     do_adv = active & ~dist_miss & ~is_hit & ~do_push
+    if brick_hit is not None:
+        do_adv = do_adv & ~brick_hit
 
     # ---- PUSH (octree_traversal.rs:216-243) ----
     h_cond = tc_max < s.h
@@ -300,6 +314,8 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base):
 
     status = s.status
     status = jnp.where(is_hit, CANDIDATE, status)
+    if brick_hit is not None:
+        status = jnp.where(brick_hit, BRICK, status)
     status = jnp.where(dist_miss | pop_miss, MISS, status)
 
     return Carry(
