@@ -1,0 +1,149 @@
+"""Lane-for-lane parity of the brick-leaf kernel vs the plain wavefront ESVO.
+
+``ops/brick_traversal.traverse_brick`` over ``brickify(tree)`` must reproduce
+``ops/traversal.traverse`` over the plain pool exactly (same hit/t/face/uv/
+leaf/voxel outputs, same accept-callback protocol) — the brick layout is a
+pure gather-count optimization (tools/PERF_NOTES.md), not a semantic change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octree_pathtracing_tpu.octree import build_from_dense
+from octree_pathtracing_tpu.octree.brick import brickify
+from octree_pathtracing_tpu.ops import traverse
+from octree_pathtracing_tpu.ops.brick_traversal import traverse_brick
+
+
+def random_scene(rng, depth, fill=0.12):
+    s = 1 << depth
+    grid = (rng.random((s, s, s)) < fill).astype(np.uint32) * rng.integers(
+        1, 10, size=(s, s, s)
+    ).astype(np.uint32)
+    return grid, build_from_dense(grid)
+
+
+def random_rays(rng, s, n):
+    origins = rng.uniform(-s, 2 * s, size=(n, 3))
+    targets = rng.uniform(0, s, size=(n, 3))
+    d = targets - origins
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return origins.astype(np.float32), d.astype(np.float32)
+
+
+def run_plain(tree, o, d, **kw):
+    return jax.jit(
+        lambda o, d: traverse(
+            jnp.asarray(tree.child_mask),
+            jnp.asarray(tree.child_data),
+            tree.root,
+            tree.scale(),
+            o,
+            d,
+            depth=tree.depth,
+            **kw,
+        )
+    )(o, d)
+
+
+def run_brick(tree, o, d, **kw):
+    bt = brickify(tree)
+    bt.child_mask = jnp.asarray(bt.child_mask)
+    bt.child_data = jnp.asarray(bt.child_data)
+    bt.bricks = jnp.asarray(bt.bricks)
+    return jax.jit(lambda o, d: traverse_brick(bt, o, d, **kw))(o, d)
+
+
+def assert_parity(a, b, check_geom=True):
+    a = jax.tree.map(np.asarray, a)
+    b = jax.tree.map(np.asarray, b)
+    np.testing.assert_array_equal(a.hit, b.hit)
+    h = a.hit
+    np.testing.assert_array_equal(a.leaf_value[h], b.leaf_value[h])
+    np.testing.assert_allclose(a.t[h], b.t[h], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a.face_id[h], b.face_id[h])
+    if check_geom:
+        np.testing.assert_allclose(a.uv[h], b.uv[h], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            a.voxel_pos[h], b.voxel_pos[h], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            a.voxel_size[h], b.voxel_size[h], rtol=1e-6, atol=0
+        )
+
+
+@pytest.mark.parametrize("depth", [3, 4, 5])
+def test_matches_plain_traversal(depth):
+    rng = np.random.default_rng(11 + depth)
+    grid, tree = random_scene(rng, depth)
+    origins, dirs = random_rays(rng, 1 << depth, 512)
+    assert_parity(
+        run_plain(tree, origins, dirs), run_brick(tree, origins, dirs)
+    )
+
+
+def test_matches_on_solid_and_lod_regions():
+    # solid slab + uniform 8^3 block: exercises LOD-compacted leaves above
+    # brick level coexisting with brick rows
+    s = 16
+    grid = np.zeros((s, s, s), np.uint32)
+    grid[:, 0:2, :] = 3  # ground slab
+    grid[4:12, 4:12, 4:12] = 5  # uniform cube -> coarse LOD leaves
+    rng = np.random.default_rng(0)
+    grid[rng.random((s, s, s)) < 0.05] = 7  # sparse detail -> bricks
+    tree = build_from_dense(grid)
+    origins, dirs = random_rays(rng, s, 512)
+    # LOD leaves survive at different scales in the two layouts (a compacted
+    # 2^3 leaf inside a brick region becomes 8 voxels) -> uv/voxel geometry
+    # may legitimately differ; hit/t/leaf/face must not.
+    assert_parity(
+        run_plain(tree, origins, dirs),
+        run_brick(tree, origins, dirs),
+        check_geom=False,
+    )
+
+
+def test_accept_fn_parity():
+    rng = np.random.default_rng(42)
+    grid, tree = random_scene(rng, 4, fill=0.25)
+    origins, dirs = random_rays(rng, 16, 256)
+
+    def reject_low(leaf, face, uv, t, voxel_pos, voxel_size):
+        return leaf >= 5  # alpha-test stand-in: fall through leaves 1..4
+
+    a = run_plain(tree, origins, dirs, accept_fn=reject_low)
+    b = run_brick(tree, origins, dirs, accept_fn=reject_low)
+    assert_parity(a, b)
+    assert np.all(np.asarray(b.leaf_value)[np.asarray(b.hit)] >= 5)
+
+
+def test_stateful_accept_parity():
+    # shadow-walk style: record how many surfaces each lane fell through
+    rng = np.random.default_rng(3)
+    grid, tree = random_scene(rng, 4, fill=0.3)
+    origins, dirs = random_rays(rng, 16, 256)
+    n = origins.shape[0]
+    state0 = jnp.zeros((n,), jnp.int32)
+
+    def walk(state, leaf, face, uv, t, voxel_pos, voxel_size, fresh):
+        passthrough = fresh & (leaf < 8)
+        return leaf >= 8, state + passthrough.astype(jnp.int32)
+
+    ra, sa = run_plain(
+        tree, origins, dirs, accept_fn=walk, accept_state=state0
+    )
+    rb, sb = run_brick(
+        tree, origins, dirs, accept_fn=walk, accept_state=state0
+    )
+    assert_parity(ra, rb)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_brickify_shrinks_pool():
+    rng = np.random.default_rng(1)
+    _, tree = random_scene(rng, 6, fill=0.15)
+    bt = brickify(tree)
+    assert bt.n_nodes < tree.n_nodes / 4  # drops the two densest levels
+    assert bt.depth == tree.depth
