@@ -30,7 +30,8 @@ def main():
     on_tpu = backend not in ("cpu",)
     depth = int(os.environ.get("BENCH_DEPTH", 9 if on_tpu else 5))
     res = int(os.environ.get("BENCH_RES", 256 if on_tpu else 64))
-    iters = int(os.environ.get("BENCH_ITERS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 3))
+    trials = int(os.environ.get("BENCH_TRIALS", 3))
 
     from octree_pathtracing_tpu.models import minecraft_chunk_scene
     from octree_pathtracing_tpu.models.camera import pixel_grid_rays
@@ -66,17 +67,22 @@ def main():
     jax.block_until_ready(fwdbwd(params, origins, dirs, u))
     bwd_compile_s = time.time() - t0
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(scene, origins, dirs, u)
-    jax.block_until_ready(out)
-    fwd_s = (time.time() - t0) / iters
+    def steady_state(fn, *args):
+        """Min-of-trials mean iteration time: back-to-back async dispatch
+        (no host work in the loop), one block at the end; min over trials
+        rejects host-contention outliers (tools/PERF_NOTES.md — the captured
+        round-1 number was 4x low purely from a busy host)."""
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.time() - t0) / iters)
+        return best
 
-    t0 = time.time()
-    for _ in range(iters):
-        g = fwdbwd(params, origins, dirs, u)
-    jax.block_until_ready(g)
-    fb_s = (time.time() - t0) / iters
+    fwd_s = steady_state(fwd, scene, origins, dirs, u)
+    fb_s = steady_state(fwdbwd, params, origins, dirs, u)
 
     # a "ray" = one traversal launch of one lane (primary or bounce),
     # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.
@@ -92,6 +98,9 @@ def main():
         depth=depth,
         res=res,
         n_nodes=int(scene.octree.n_nodes),
+        n_bricks=int(scene.octree.bricks.shape[0])
+        if hasattr(scene.octree, "bricks")
+        else 0,
         octree_build_s=round(build_s, 2),
         fwd_compile_s=round(fwd_compile_s, 1),
         bwd_compile_s=round(bwd_compile_s, 1),

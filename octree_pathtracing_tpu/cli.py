@@ -51,6 +51,7 @@ def cmd_render(args):
         target_spp=args.spp,
         branch_count=args.branch_count,
         seed=args.seed,
+        n_bounces=args.bounces,
     )
     if args.resume:
         from .io.checkpoint import load_render_checkpoint
@@ -151,6 +152,7 @@ def main(argv=None):
     common(r)
     r.add_argument("--spp", type=int, default=64)
     r.add_argument("--branch-count", type=int, default=10)
+    r.add_argument("--bounces", type=int, default=5, help="path depth cap (path_tracer.rs:56; config 5 uses 8)")
     r.add_argument("--sun", default="importance")
     r.add_argument("--checkpoint", default="")
     r.add_argument("--resume", default="")

@@ -108,6 +108,69 @@ def _cell_table() -> np.ndarray:
 _CELLS = _cell_table()
 
 
+def debrickify(bt: BrickOctree) -> Octree:
+    """Reconstruct the plain pool the brick kernel *effectively* traverses.
+
+    Bricks are exploded exactly: every non-air brick cell becomes a 1-voxel
+    leaf (no re-compaction), so plain-ESVO traversal of the result is
+    lane-for-lane identical to ``traverse_brick`` on ``bt`` — including
+    origin-inside-solid rays.  Used to hand brick scenes to consumers of the
+    plain layout (the NumPy oracle, the fused megakernel).
+    """
+    mask = np.asarray(bt.child_mask, dtype=np.uint32)
+    data = np.asarray(bt.child_data, dtype=np.uint32)
+    bricks = np.asarray(bt.bricks, dtype=np.uint32)
+    n = mask.shape[0]
+
+    present = ((mask[:, None] >> _SLOTS[None, :]) & 1) != 0
+    leaf = ((mask[:, None] >> (_SLOTS[None, :] + 8)) & 1) != 0
+    is_brick = present & leaf & ((data & BRICK_BIT) != 0)
+
+    # referenced brick ids, in slot-major order of appearance
+    bids = (data[is_brick] & BRICK_ID_MASK).astype(np.int64)
+    nb = bids.shape[0]
+    vox = bricks[bids][:, _CELLS]  # (nb, 8 slots, 8 subslots)
+
+    # depth-1 nodes: one per non-empty slot of each exploded brick
+    sub_nonempty = vox != 0  # (nb, 8, 8)
+    slot_used = sub_nonempty.any(axis=2)  # (nb, 8)
+    d1_count = slot_used.sum()
+    d1_of = np.cumsum(slot_used.reshape(-1)).reshape(nb, 8) - 1  # index among d1
+
+    d1_mask = (
+        np.sum(sub_nonempty << _SLOTS[None, None, :], axis=2)
+        | (np.sum(sub_nonempty << (_SLOTS[None, None, :] + 8), axis=2))
+    ).astype(np.uint32)[slot_used]
+    d1_data = np.where(sub_nonempty, vox, 0).astype(np.uint32)[slot_used]
+
+    # depth-2 nodes: one per brick, children = the depth-1 nodes
+    d2_base = n
+    d1_base = n + nb
+    d2_mask = np.sum(slot_used << _SLOTS[None, :], axis=1).astype(np.uint32)
+    d2_data = np.where(slot_used, d1_base + d1_of, 0).astype(np.uint32)
+
+    # rewrite brick slots in the internal pool to point at the new d2 nodes
+    new_data = data.copy()
+    new_mask = mask.copy()
+    brick_seq = np.zeros(is_brick.sum(), dtype=np.uint32)
+    brick_seq[:] = d2_base + np.arange(nb, dtype=np.uint32)
+    new_data[is_brick] = brick_seq
+    # clear the leaf flag on those slots (they become internal children)
+    rows, slots = np.nonzero(is_brick)
+    clear = np.zeros(n, np.uint32)
+    np.bitwise_or.at(clear, rows, (1 << (slots + 8)).astype(np.uint32))
+    new_mask = new_mask & ~clear
+
+    return Octree(
+        child_mask=np.concatenate([new_mask, d2_mask, d1_mask]),
+        child_data=np.concatenate(
+            [new_data, d2_data, d1_data.reshape(-1, 8)]
+        ),
+        root=bt.root,
+        depth=bt.depth,
+    )
+
+
 def brickify(tree: Octree) -> BrickOctree:
     """Convert a built octree into the brick layout.
 

@@ -65,6 +65,43 @@ def _mux(idx, cols):
     return cols[0]
 
 
+def traverse_tree(
+    tree,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    max_dst: float = 1024.0,
+    accept_fn: Optional[Callable] = None,
+    accept_state=None,
+):
+    """Dispatch a ray batch to the kernel matching the pool layout:
+    ``BrickOctree`` -> ``traverse_brick``; plain ``Octree`` -> ``traverse``.
+    Same contract either way (accept protocol, HitResult, world units)."""
+    from ..octree.brick import BrickOctree
+    from .traversal import traverse
+
+    if isinstance(tree, BrickOctree):
+        return traverse_brick(
+            tree,
+            origins,
+            directions,
+            max_dst=max_dst,
+            accept_fn=accept_fn,
+            accept_state=accept_state,
+        )
+    return traverse(
+        tree.child_mask,
+        tree.child_data,
+        tree.root,
+        tree.scale(),
+        origins,
+        directions,
+        max_dst=max_dst,
+        accept_fn=accept_fn,
+        depth=tree.depth,
+        accept_state=accept_state,
+    )
+
+
 def traverse_brick(
     tree,
     origins: jnp.ndarray,
@@ -86,8 +123,10 @@ def traverse_brick(
     consts, carry0 = _init(
         tree.root, octree_scale, origins, directions, max_dst, stack_rows
     )
-    nodes_packed = pack_nodes(tree.child_mask, tree.child_data)
-    bricks = tree.bricks.astype(jnp.int32)  # (NB, 64)
+    nodes_packed = pack_nodes(
+        jnp.asarray(tree.child_mask), jnp.asarray(tree.child_data)
+    )
+    bricks = jnp.asarray(tree.bricks).astype(jnp.int32)  # (NB, 64)
     b = origins.shape[0]
 
     stateful = accept_state is not None
@@ -232,7 +271,9 @@ def traverse_brick(
         )
         return inner, rounds + 1
 
-    zi = jnp.zeros((b,), jnp.int32)
+    # derive from a varying per-lane array so the while_loop carry keeps
+    # consistent varying-manual-axes under shard_map (see traversal._init)
+    zi = carry0.index * 0
     st0 = ((carry0, zi, zi != 0), jnp.int32(0))
     (s, brick_leaf, from_brick), _rounds = lax.while_loop(
         outer_cond, outer_body, st0

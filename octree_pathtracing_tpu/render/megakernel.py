@@ -33,11 +33,10 @@ from ..models.scene import Scene, MAX_DIST
 from ..ops import traversal as T
 from ..ops.shading import OFFSET
 from .hit import make_accept_fn, resolve_hit
-from .pathtracer import MAX_BOUNCES, _albedo_at, lobe_scatter, sky_radiance
+from .pathtracer import _albedo_at, lobe_scatter, sky_radiance
 
 DONE = 3  # extends the traversal's ACTIVE/CANDIDATE/MISS lane statuses
 SHADE_FRACTION = 0.35
-GLOBAL_STEP_CAP = T.MAX_STEPS * MAX_BOUNCES
 
 
 def _merge_consts(mask_b, new: T.RayConstants, old: T.RayConstants) -> T.RayConstants:
@@ -76,12 +75,31 @@ def _merge_carry(mask_b, new: T.Carry, old: T.Carry) -> T.Carry:
 def trace_paths_fused(scene: Scene, origins, dirs, uniforms):
     """Drop-in replacement for ``trace_paths`` (no-NEE strategies).
 
-    uniforms: (B, MAX_BOUNCES, N_UNIFORMS).
+    uniforms: (B, n_bounces, N_UNIFORMS) — the bounce axis sets the depth cap.
     """
+    n_bounces = uniforms.shape[1]
+    global_step_cap = T.MAX_STEPS * n_bounces
     assert not scene.sun_sampling.sun_sampling, (
         "fused kernel covers strategies without sun NEE; "
         "use trace_paths for FAST/HIGH_QUALITY"
     )
+    from ..octree.brick import BrickOctree, debrickify
+
+    if isinstance(scene.octree, BrickOctree):
+        # interim: the fused loop walks the plain layout; explode the bricks
+        # (host-side -> requires concrete arrays, i.e. call outside jit)
+        import dataclasses
+
+        plain = debrickify(scene.octree)
+        scene = dataclasses.replace(
+            scene,
+            octree=type(plain)(
+                jnp.asarray(plain.child_mask),
+                jnp.asarray(plain.child_data),
+                plain.root,
+                plain.depth,
+            ),
+        )
     sg = lax.stop_gradient
     scene_sg = jax.tree.map(sg, scene)
     tree = scene_sg.octree
@@ -139,7 +157,7 @@ def trace_paths_fused(scene: Scene, origins, dirs, uniforms):
 
         bounce0 = st["bounce"] == 0
         # uniforms for each lane's current bounce
-        bidx = jnp.clip(st["bounce"], 0, MAX_BOUNCES - 1)
+        bidx = jnp.clip(st["bounce"], 0, n_bounces - 1)
         u = jnp.take_along_axis(uniforms, bidx[:, None, None], axis=1)[:, 0]
 
         # --- misses: sky ---
@@ -149,7 +167,7 @@ def trace_paths_fused(scene: Scene, origins, dirs, uniforms):
         )
 
         # --- hits: scatter or depth-cap ---
-        scatter = ready_hit & (st["bounce"] + 1 < MAX_BOUNCES)
+        scatter = ready_hit & (st["bounce"] + 1 < n_bounces)
         mat, hit_uv, n, t_hit = resolve_hit(scene, st["w_origin"], st["w_dir"], res)
         albedo = _albedo_at(scene, mat, hit_uv)
         hitpoint = st["w_origin"] + st["w_dir"] * t_hit[:, None]
@@ -224,7 +242,7 @@ def trace_paths_fused(scene: Scene, origins, dirs, uniforms):
         return lax.cond(shade_now, shade, lambda x: x, st)
 
     def cond(st):
-        return jnp.any(st["carry"].status != DONE) & (st["iters"] < GLOBAL_STEP_CAP)
+        return jnp.any(st["carry"].status != DONE) & (st["iters"] < global_step_cap)
 
     state = lax.while_loop(cond, body, state)
     return state["radiance"]

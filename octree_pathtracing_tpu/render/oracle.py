@@ -43,13 +43,22 @@ _FACE_NORMALS = np.array(
 
 
 def scene_to_numpy(scene):
-    """Snapshot a jax Scene into plain numpy for the oracle."""
+    """Snapshot a jax Scene into plain numpy for the oracle.
+
+    Brick-leaf pools are exploded back to the plain layout they effectively
+    traverse (``octree.brick.debrickify``) so the scalar reference walks the
+    same voxelization the device kernel does."""
+    from ..octree.brick import BrickOctree, debrickify
+
+    tree = scene.octree
+    if isinstance(tree, BrickOctree):
+        tree = debrickify(tree)
     m = scene.materials
     return dict(
-        child_mask=np.asarray(scene.octree.child_mask),
-        child_data=np.asarray(scene.octree.child_data),
-        root=scene.octree.root,
-        octree_scale=scene.octree.scale(),
+        child_mask=np.asarray(tree.child_mask),
+        child_data=np.asarray(tree.child_data),
+        root=tree.root,
+        octree_scale=tree.scale(),
         atlas=np.asarray(scene.atlas, np.float64),
         leaf_material=np.asarray(scene.leaf_material),
         ior=np.asarray(m.ior, np.float64),
@@ -312,7 +321,8 @@ def trace_path_oracle(sc, origin, direction, uniforms):
     specular_flag = True
     cur_mat = 0
 
-    for bounce in range(MAX_BOUNCES):
+    n_bounces = uniforms.shape[0]
+    for bounce in range(n_bounces):
         u = uniforms[bounce]
         h = _trace(sc, origin, d, cur_mat)
         if not h.hit:
@@ -323,7 +333,7 @@ def trace_path_oracle(sc, origin, direction, uniforms):
             radiance += throughput * sky
             break
 
-        if bounce + 1 >= MAX_BOUNCES:
+        if bounce + 1 >= n_bounces:
             break
 
         mat = _mat_of_leaf(sc, h.leaf_value)

@@ -52,9 +52,9 @@ from ..ops.shading import (
     specular_reflect_dir,
 )
 from ..ops.texture import sample_atlas
-from ..ops.traversal import traverse
+from ..ops.brick_traversal import traverse_tree
 
-MAX_BOUNCES = 5  # path_tracer.rs:56
+MAX_BOUNCES = 5  # path_tracer.rs:56 (default; callers size the uniform block)
 SHADOW_MAX_SURFACES = 4
 
 
@@ -82,16 +82,12 @@ def _trace(scene: Scene, origins, dirs):
     tree = scene_sg.octree
     origins = sg(origins)
     dirs = sg(dirs)
-    return traverse(
-        tree.child_mask,
-        tree.child_data,
-        tree.root,
-        tree.scale(),
+    return traverse_tree(
+        tree,
         origins,
         dirs,
         max_dst=MAX_DIST,
         accept_fn=make_accept_fn(scene_sg, origins, dirs),
-        depth=tree.depth,
     )
 
 
@@ -103,16 +99,12 @@ def _trace_stateful(scene: Scene, origins, dirs, accept_builder, state):
     tree = scene_sg.octree
     origins = sg(origins)
     dirs = sg(dirs)
-    return traverse(
-        tree.child_mask,
-        tree.child_data,
-        tree.root,
-        tree.scale(),
+    return traverse_tree(
+        tree,
         origins,
         dirs,
         max_dst=MAX_DIST,
         accept_fn=accept_builder(scene_sg, origins, dirs),
-        depth=tree.depth,
         accept_state=jax.tree.map(sg, state),
     )
 
@@ -168,11 +160,9 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
 TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
 
-def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
-    """The untiled integrator over one contiguous lane block."""
+def _init_state(origins, dirs):
     b = origins.shape[0]
-
-    state = dict(
+    return dict(
         origin=origins.astype(jnp.float32),
         dir=dirs.astype(jnp.float32),
         throughput=jnp.ones((b, 3), jnp.float32),
@@ -182,8 +172,22 @@ def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
         cur_mat=jnp.zeros((b,), jnp.int32),
     )
 
-    for bounce in range(MAX_BOUNCES):
-        state = _bounce(scene, state, uniforms[:, bounce, :], bounce)
+
+def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
+    """The untiled integrator over one contiguous lane block.
+
+    Bounce count is the uniform block's bounce axis (``uniforms.shape[1]``) —
+    the reference's depth cap 5 is the default, BASELINE config 5 uses 8."""
+    state = _init_state(origins, dirs)
+    n_bounces = uniforms.shape[1]
+    for bounce in range(n_bounces):
+        state = _bounce(
+            scene,
+            state,
+            uniforms[:, bounce, :],
+            is_first=bounce == 0,
+            may_scatter=bounce + 1 < n_bounces,
+        )
     return state["radiance"]
 
 
@@ -219,6 +223,57 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto"):
     u = uniforms.reshape((t, bt) + uniforms.shape[1:])
     out = jax.lax.map(
         lambda xs: _trace_paths_block(scene, xs[0], xs[1], xs[2]), (o, d, u)
+    )
+    return out.reshape(b, 3)
+
+
+def _trace_paths_branched_block(scene: Scene, origins, dirs, uniforms):
+    """Untiled first-hit branch replication over one lane block.
+
+    uniforms: (B, K, n_bounces, N_UNIFORMS)."""
+    b, k, n_bounces = uniforms.shape[:3]
+    res = _trace(scene, origins, dirs)  # THE one primary traversal
+
+    rep = lambda x: jnp.repeat(x, k, axis=0) if getattr(x, "ndim", 0) else x
+    res_k = jax.tree.map(rep, res)
+    st = _init_state(rep(origins.astype(jnp.float32)), rep(dirs.astype(jnp.float32)))
+    u = uniforms.reshape(b * k, n_bounces, uniforms.shape[-1])
+
+    st = _shade(scene, st, u[:, 0, :], res_k, is_first=True, may_scatter=n_bounces > 1)
+    for bounce in range(1, n_bounces):
+        st = _bounce(
+            scene,
+            st,
+            u[:, bounce, :],
+            is_first=False,
+            may_scatter=bounce + 1 < n_bounces,
+        )
+    return st["radiance"].reshape(b, k, 3).mean(axis=1)
+
+
+def trace_paths_branched(scene: Scene, origins, dirs, uniforms, tiles="auto"):
+    """First-hit branch replication (``path_tracer.rs:66-121``): trace the
+    primary ray ONCE per lane, then run ``K = uniforms.shape[1]`` independent
+    continuations from the frozen first hit — each with its own lobe choice,
+    NEE sample, and bounce tail — and average.  The primary traversal (the
+    longest walk of the path) is paid once instead of K times.
+
+    uniforms: (B, K, n_bounces, N_UNIFORMS).  Returns (B, 3) radiance, the
+    mean of the K branch estimators (the reference's ``cumulative /= count``).
+    Equivalent to ``mean_k trace_paths(..., uniforms[:, k])`` lane-for-lane
+    (the primary trace is deterministic), tested in test_pathtracer.py.
+    """
+    b = origins.shape[0]
+    t = _auto_tiles(b) if tiles == "auto" else max(1, int(tiles))
+    if t <= 1 or b % t:
+        return _trace_paths_branched_block(scene, origins, dirs, uniforms)
+    bt = b // t
+    o = origins.reshape(t, bt, 3)
+    d = dirs.reshape(t, bt, 3)
+    u = uniforms.reshape((t, bt) + uniforms.shape[1:])
+    out = jax.lax.map(
+        lambda xs: _trace_paths_branched_block(scene, xs[0], xs[1], xs[2]),
+        (o, d, u),
     )
     return out.reshape(b, 3)
 
@@ -315,17 +370,27 @@ def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
     )
 
 
-def _bounce(scene: Scene, st, u, bounce):
+def _bounce(scene: Scene, st, u, is_first: bool, may_scatter: bool):
+    res = _trace(scene, st["origin"], st["dir"])
+    return _shade(scene, st, u, res, is_first, may_scatter)
+
+
+def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
+    """Shade one resolved traversal: sky on miss, lobe scatter on hit.
+
+    Split from the trace so the branched estimator can reuse ONE primary
+    traversal across its replicated continuations (``trace_paths_branched``).
+    ``is_first``/``may_scatter`` are static per-unroll flags (bounce == 0 /
+    bounce + 1 < n_bounces)."""
     from .hit import resolve_hit
 
     strat = scene.sun_sampling
-    res = _trace(scene, st["origin"], st["dir"])
 
     active = st["active"]
     miss = active & ~res.hit
     hit = active & res.hit
     b = st["dir"].shape[0]
-    bounce0 = jnp.full((b,), bounce == 0)
+    bounce0 = jnp.full((b,), is_first)
 
     # ---- sky on miss (path_tracer.rs:26-37) ----
     sky_rgb = sky_radiance(scene, st["dir"], bounce0, st["specular"])
@@ -335,7 +400,7 @@ def _bounce(scene: Scene, st, u, bounce):
 
     # depth cap: ray.hit.depth + 1 >= 5 breaks before scattering
     # (path_tracer.rs:56-59); bounce index == depth of the ray here.
-    can_scatter = hit & (bounce + 1 < MAX_BOUNCES)
+    can_scatter = hit & may_scatter
     new_active = can_scatter
 
     # ---- hit shading ----
@@ -385,10 +450,10 @@ def _bounce(scene: Scene, st, u, bounce):
     )
 
 
-def draw_uniforms(key, n_lanes: int):
+def draw_uniforms(key, n_lanes: int, n_bounces: int = MAX_BOUNCES):
     """Pre-draw the full uniform block for a batch."""
     return jax.random.uniform(
-        key, (n_lanes, MAX_BOUNCES, N_UNIFORMS), dtype=jnp.float32
+        key, (n_lanes, n_bounces, N_UNIFORMS), dtype=jnp.float32
     )
 
 

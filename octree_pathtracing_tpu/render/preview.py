@@ -15,7 +15,7 @@ from ..models.camera import Camera, pixel_grid_rays
 from ..models.scene import Scene, face_normals
 from ..models.sun import add_sun_color, flat_shading, sky_color
 from ..ops.texture import sample_atlas
-from ..ops.traversal import traverse
+from ..ops.brick_traversal import traverse_tree
 
 
 def preview_render_rays(scene: Scene, origins, directions):
@@ -23,15 +23,11 @@ def preview_render_rays(scene: Scene, origins, directions):
     from .hit import make_accept_fn, resolve_hit
 
     tree = scene.octree
-    res = traverse(
-        tree.child_mask,
-        tree.child_data,
-        tree.root,
-        tree.scale(),
+    res = traverse_tree(
+        tree,
         origins,
         directions,
         accept_fn=make_accept_fn(scene, origins, directions),
-        depth=tree.depth,
     )
     mat_id, uv, normals, _t = resolve_hit(scene, origins, directions, res)
     layer = scene.materials.texture_index[mat_id]

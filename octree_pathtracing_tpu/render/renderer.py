@@ -27,7 +27,7 @@ import numpy as np
 from ..models.camera import Camera, pixel_grid_rays
 from ..models.scene import Scene
 from ..ops.texture import float_to_u8
-from .pathtracer import draw_uniforms, trace_paths
+from .pathtracer import MAX_BOUNCES, draw_uniforms, trace_paths, trace_paths_branched
 
 
 def branch_schedule(current_spp: int, branch_count: int) -> int:
@@ -40,7 +40,7 @@ def branch_schedule(current_spp: int, branch_count: int) -> int:
     return branch_count
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "n_bounces"))
 def render_pass(
     scene: Scene,
     camera: Camera,
@@ -50,6 +50,7 @@ def render_pass(
     width: int,
     height: int,
     spp_this_pass,
+    n_bounces: int = MAX_BOUNCES,
 ):
     """One progressive pass: ``spp_this_pass`` jittered samples per pixel,
     folded into the running average.  Returns (framebuffer, new_spp).
@@ -68,7 +69,7 @@ def render_pass(
             k_jit, (n_px, 2), minval=-1.0 / dim, maxval=1.0 / dim
         )
         origins, dirs = pixel_grid_rays(camera, width, height, jitter)
-        u = draw_uniforms(k_path, n_px)
+        u = draw_uniforms(k_path, n_px, n_bounces)
         return acc + trace_paths(scene, origins, dirs, u)
 
     new_color = jax.lax.fori_loop(
@@ -81,6 +82,45 @@ def render_pass(
         ..., None
     ]
     return fb, current_spp + spp_this_pass
+
+
+@partial(jax.jit, static_argnames=("width", "height", "branches", "n_bounces"))
+def render_pass_branched(
+    scene: Scene,
+    camera: Camera,
+    framebuffer: jnp.ndarray,
+    current_spp: jnp.ndarray,
+    key: jnp.ndarray,
+    width: int,
+    height: int,
+    branches: int,
+    n_bounces: int = MAX_BOUNCES,
+):
+    """One progressive pass with first-hit branch replication
+    (``path_tracer.rs:66-121``): each pixel traces ONE jittered primary ray
+    and ``branches`` continuations from the frozen first hit, contributing
+    ``branches`` samples to the running average.  ``branches`` is static —
+    the warmup schedule emits at most 3 distinct values per render
+    (1, ramp, branch_count), so compile count stays bounded.
+    """
+    n_px = width * height
+    dim = float(max(width, height))
+    k_jit, k_path = jax.random.split(key)
+    jitter = jax.random.uniform(
+        k_jit, (n_px, 2), minval=-1.0 / dim, maxval=1.0 / dim
+    )
+    origins, dirs = pixel_grid_rays(camera, width, height, jitter)
+    u = draw_uniforms(k_path, n_px * branches, n_bounces).reshape(
+        n_px, branches, n_bounces, -1
+    )
+    new_color = trace_paths_branched(scene, origins, dirs, u) * branches
+
+    spp_f = current_spp.astype(jnp.float32)
+    s_inv = 1.0 / (spp_f + branches)
+    fb = (framebuffer * spp_f[..., None] + new_color.reshape(height, width, 3)) * s_inv[
+        ..., None
+    ]
+    return fb, current_spp + branches
 
 
 @dataclasses.dataclass
@@ -99,6 +139,7 @@ class Renderer:
     target_spp: int = 64
     branch_count: int = 10  # tile_renderer.rs:104
     seed: int = 0
+    n_bounces: int = MAX_BOUNCES  # path depth cap (config 5 uses 8)
 
     def __post_init__(self):
         self.reset()
@@ -131,16 +172,31 @@ class Renderer:
             return False
         n = min(branch_schedule(spp_now, self.branch_count), self.target_spp - spp_now)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._pass_index)
-        self.framebuffer, self.current_spp = render_pass(
-            self.scene,
-            self.camera,
-            self.framebuffer,
-            self.current_spp,
-            key,
-            self.width,
-            self.height,
-            n,
-        )
+        if n > 1:
+            # sample-reuse pass: one primary, n branch continuations
+            self.framebuffer, self.current_spp = render_pass_branched(
+                self.scene,
+                self.camera,
+                self.framebuffer,
+                self.current_spp,
+                key,
+                self.width,
+                self.height,
+                n,
+                self.n_bounces,
+            )
+        else:
+            self.framebuffer, self.current_spp = render_pass(
+                self.scene,
+                self.camera,
+                self.framebuffer,
+                self.current_spp,
+                key,
+                self.width,
+                self.height,
+                n,
+                self.n_bounces,
+            )
         self._pass_index += 1
         return True
 

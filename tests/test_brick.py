@@ -49,16 +49,33 @@ def run_plain(tree, o, d, **kw):
 
 
 def run_brick(tree, o, d, **kw):
-    bt = brickify(tree)
-    bt.child_mask = jnp.asarray(bt.child_mask)
-    bt.child_data = jnp.asarray(bt.child_data)
-    bt.bricks = jnp.asarray(bt.bricks)
+    bt = brickify(tree)  # traverse_brick converts the numpy arrays itself
     return jax.jit(lambda o, d: traverse_brick(bt, o, d, **kw))(o, d)
 
 
-def assert_parity(a, b, check_geom=True):
+def origin_in_solid(grid, origins):
+    """Lanes whose origin cell is a non-air voxel.
+
+    Origin-inside-solid behavior is representation-dependent (a compacted
+    2^3 LOD leaf is skipped whole by the plain ESVO's t>0 rule, while the
+    brick layout re-subdivides it into voxels, skipping only the origin
+    cell) — unspecified semantics, excluded from parity.  The integrator
+    never launches such rays except refraction entry, where the difference
+    is the same compaction-dependence the reference has.
+    """
+    s = grid.shape[0]
+    cell = np.floor(origins).astype(np.int64)
+    inside = np.all((cell >= 0) & (cell < s), axis=-1)
+    cell = np.clip(cell, 0, s - 1)
+    return inside & (grid[cell[:, 0], cell[:, 1], cell[:, 2]] != 0)
+
+
+def assert_parity(a, b, check_geom=True, lanes=None):
     a = jax.tree.map(np.asarray, a)
     b = jax.tree.map(np.asarray, b)
+    if lanes is not None:
+        a = jax.tree.map(lambda x: x[lanes] if x.ndim else x, a)
+        b = jax.tree.map(lambda x: x[lanes] if x.ndim else x, b)
     np.testing.assert_array_equal(a.hit, b.hit)
     h = a.hit
     np.testing.assert_array_equal(a.leaf_value[h], b.leaf_value[h])
@@ -97,11 +114,16 @@ def test_matches_on_solid_and_lod_regions():
     origins, dirs = random_rays(rng, s, 512)
     # LOD leaves survive at different scales in the two layouts (a compacted
     # 2^3 leaf inside a brick region becomes 8 voxels) -> uv/voxel geometry
-    # may legitimately differ; hit/t/leaf/face must not.
+    # may legitimately differ; hit/t/leaf/face must not.  Origin-inside-solid
+    # lanes are excluded: their skip granularity is representation-dependent
+    # (see origin_in_solid).
+    lanes = ~origin_in_solid(grid, origins)
+    assert lanes.sum() > 400  # the exclusion must stay a small minority
     assert_parity(
         run_plain(tree, origins, dirs),
         run_brick(tree, origins, dirs),
         check_geom=False,
+        lanes=lanes,
     )
 
 
@@ -139,6 +161,27 @@ def test_stateful_accept_parity():
     )
     assert_parity(ra, rb)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_debrickify_exact_equivalence():
+    # plain traversal of the exploded pool must equal the brick kernel for
+    # ALL lanes — including origin-inside-solid (exact same voxelization)
+    from octree_pathtracing_tpu.octree.brick import debrickify
+
+    s = 16
+    grid = np.zeros((s, s, s), np.uint32)
+    grid[:, 0:2, :] = 3
+    grid[4:12, 4:12, 4:12] = 5
+    rng = np.random.default_rng(0)
+    grid[rng.random((s, s, s)) < 0.05] = 7
+    tree = build_from_dense(grid)
+    bt = brickify(tree)
+    plain = debrickify(bt)
+    origins, dirs = random_rays(rng, s, 512)
+    assert_parity(
+        run_plain(plain, origins, dirs),
+        jax.jit(lambda o, d: traverse_brick(bt, o, d))(origins, dirs),
+    )
 
 
 def test_brickify_shrinks_pool():

@@ -38,8 +38,6 @@ def test_grad_matches_finite_difference_atlas():
     eps = 1e-3
     for k in order:
         idx = np.unravel_index(k, ga.shape)
-        for sign, store in ((1, "hi"), (-1, "lo")):
-            pass
         atlas_hi = params["atlas"].at[idx].add(eps)
         atlas_lo = params["atlas"].at[idx].add(-eps)
         f_hi = float(f({**params, "atlas": atlas_hi}))

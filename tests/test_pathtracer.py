@@ -60,6 +60,40 @@ def test_sun_sampling_high_quality():
     _run_parity(scene, cam, 8, 6, seed=7)
 
 
+def test_branch_replication_equivalence():
+    """trace_paths_branched == mean_k trace_paths(uniforms[:, k]) exactly:
+    the primary traversal is deterministic, so replicating the first hit is
+    the same estimator as re-tracing it per branch (path_tracer.rs:66-121)."""
+    from octree_pathtracing_tpu.render import trace_paths_branched
+
+    scene, cam = cornell_scene(depth=4)
+    origins, dirs = pixel_grid_rays(cam, 8, 6)
+    b = origins.shape[0]
+    k = 3
+    u = draw_uniforms(jax.random.PRNGKey(9), b * k).reshape(b, k, -1, 18)
+    got = np.asarray(trace_paths_branched(scene, origins, dirs, u))
+    per_branch = np.stack(
+        [np.asarray(trace_paths(scene, origins, dirs, u[:, i])) for i in range(k)]
+    )
+    np.testing.assert_allclose(got, per_branch.mean(axis=0), rtol=1e-5, atol=1e-6)
+
+
+def test_bounce_count_from_uniform_shape():
+    """The bounce axis of the uniform block sets the depth cap (config 5
+    wants 8-bounce); deeper paths gather at least as much radiance in the
+    Cornell box (more chances to reach the emitter, never fewer)."""
+    scene, cam = cornell_scene(depth=4)
+    origins, dirs = pixel_grid_rays(cam, 6, 6)
+    b = origins.shape[0]
+    key = jax.random.PRNGKey(2)
+    u2 = draw_uniforms(key, b, n_bounces=2)
+    u8 = draw_uniforms(key, b, n_bounces=8)
+    r2 = np.asarray(trace_paths(scene, origins, dirs, u2))
+    r8 = np.asarray(trace_paths(scene, origins, dirs, u8))
+    assert np.isfinite(r2).all() and np.isfinite(r8).all()
+    assert r8.mean() > r2.mean() * 0.99  # deeper never loses energy here
+
+
 def test_sky_only():
     scene, cam = sphere_scene(depth=4)
     # aim at the sky

@@ -19,7 +19,12 @@ def test_preview_matches_oracle_traversal():
 
     origins, dirs = pixel_grid_rays(cam, w, h)
     origins, dirs = np.asarray(origins), np.asarray(dirs)
+    # the oracle walks the plain layout; explode the scene's brick pool
+    from octree_pathtracing_tpu.octree.brick import BrickOctree, debrickify
+
     tree = scene.octree
+    if isinstance(tree, BrickOctree):
+        tree = debrickify(tree)
     cm, cd = np.asarray(tree.child_mask), np.asarray(tree.child_data)
 
     n_hit = 0
