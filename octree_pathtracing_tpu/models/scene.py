@@ -113,13 +113,18 @@ def make_scene(
     sun: Sun | None = None,
     leaf_material=None,
     models=None,
-    brick: bool = True,
+    brick: bool = False,
     **kwargs,
 ) -> Scene:
-    """``brick=True`` (default) converts the pool to the brick-leaf layout
-    (``octree/brick.py``) — ~2.5-3x fewer traversal gathers on TPU
-    (tools/PERF_NOTES.md); traversal dispatch is by pool type
-    (``ops.traverse_tree``).  Depth<3 trees stay plain."""
+    """``brick=True`` converts the pool to the brick-leaf layout
+    (``octree/brick.py``); traversal dispatch is by pool type
+    (``ops.traverse_tree``).  Depth<3 trees stay plain.
+
+    Default is OFF: on-chip measurement (tools/PERF_NOTES.md round 2) showed
+    the phase-alternating brick kernel 12x SLOWER than the plain lockstep
+    loop at depth 9 — each tree/brick round re-synchronizes the whole batch,
+    multiplying total lockstep iterations.  The layout stays available for
+    the fused-DDA experiments; flip per-scene once a variant measures faster."""
     from ..octree.brick import BrickOctree, brickify
 
     if sun is None:

@@ -72,10 +72,12 @@ def traverse_tree(
     max_dst: float = 1024.0,
     accept_fn: Optional[Callable] = None,
     accept_state=None,
+    active_mask=None,
 ):
     """Dispatch a ray batch to the kernel matching the pool layout:
     ``BrickOctree`` -> ``traverse_brick``; plain ``Octree`` -> ``traverse``.
-    Same contract either way (accept protocol, HitResult, world units)."""
+    Same contract either way (accept protocol, HitResult, world units,
+    ``active_mask`` dead-lane skip)."""
     from ..octree.brick import BrickOctree
     from .traversal import traverse
 
@@ -87,6 +89,7 @@ def traverse_tree(
             max_dst=max_dst,
             accept_fn=accept_fn,
             accept_state=accept_state,
+            active_mask=active_mask,
         )
     return traverse(
         tree.child_mask,
@@ -99,6 +102,7 @@ def traverse_tree(
         accept_fn=accept_fn,
         depth=tree.depth,
         accept_state=accept_state,
+        active_mask=active_mask,
     )
 
 
@@ -109,6 +113,7 @@ def traverse_brick(
     max_dst: float = 1024.0,
     accept_fn: Optional[Callable] = None,
     accept_state=None,
+    active_mask=None,
 ):
     """Trace a ray batch against a ``BrickOctree``; same contract as
     ``traversal.traverse`` (accept protocol, HitResult fields, world units).
@@ -132,6 +137,10 @@ def traverse_brick(
     stateful = accept_state is not None
     if stateful:
         carry0 = carry0._replace(user=accept_state)
+    if active_mask is not None:
+        carry0 = carry0._replace(
+            status=jnp.where(active_mask, carry0.status, MISS)
+        )
 
     mbit = jnp.stack([(consts.mirror >> i) & 1 for i in range(3)])  # (3, B)
 

@@ -399,8 +399,13 @@ def traverse(
     accept_fn: Optional[Callable] = None,
     depth: Optional[int] = None,
     accept_state=None,
+    active_mask=None,
 ):
     """Trace a ray batch to its first (accepted) leaf hits.
+
+    ``active_mask``: optional (B,) bool — lanes that are False start as
+    MISS and contribute no loop iterations (wavefront compaction: a tile of
+    dead lanes exits its lockstep loop immediately).
 
     ``accept_fn(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size) ->
     (B,) bool`` decides whether a leaf candidate counts as a hit (texture
@@ -430,6 +435,10 @@ def traverse(
     stateful = accept_state is not None
     if stateful:
         carry0 = carry0._replace(user=accept_state)
+    if active_mask is not None:
+        carry0 = carry0._replace(
+            status=jnp.where(active_mask, carry0.status, MISS)
+        )
 
     def cond(s):
         return jnp.any(s.status == ACTIVE) & (s.step < MAX_STEPS)

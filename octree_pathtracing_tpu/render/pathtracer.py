@@ -63,7 +63,7 @@ def _albedo_at(scene: Scene, mat_id, uv):
     return sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
 
 
-def _trace(scene: Scene, origins, dirs):
+def _trace(scene: Scene, origins, dirs, active=None):
     """Traversal with the visibility structure detached from AD.
 
     All inputs are stop_gradient'ed so the while_loop carries no tangents:
@@ -88,10 +88,11 @@ def _trace(scene: Scene, origins, dirs):
         dirs,
         max_dst=MAX_DIST,
         accept_fn=make_accept_fn(scene_sg, origins, dirs),
+        active_mask=None if active is None else sg(active),
     )
 
 
-def _trace_stateful(scene: Scene, origins, dirs, accept_builder, state):
+def _trace_stateful(scene: Scene, origins, dirs, accept_builder, state, active=None):
     """Detached traversal with a stateful accept callback; returns
     (HitResult, final_state)."""
     sg = jax.lax.stop_gradient
@@ -106,10 +107,11 @@ def _trace_stateful(scene: Scene, origins, dirs, accept_builder, state):
         max_dst=MAX_DIST,
         accept_fn=accept_builder(scene_sg, origins, dirs),
         accept_state=jax.tree.map(sg, state),
+        active_mask=None if active is None else sg(active),
     )
 
 
-def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
+def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
     """Direct-light attenuation walk (``path_tracer.rs:458-483``).
 
     Marches the shadow ray through up to SHADOW_MAX_SURFACES alpha surfaces:
@@ -131,7 +133,7 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat):
 
     state0 = shadow_state_init(cur_mat, SHADOW_MAX_SURFACES)
     _, st = _trace_stateful(
-        scene, origins + dirs * OFFSET, dirs, builder, state0
+        scene, origins + dirs * OFFSET, dirs, builder, state0, active=active
     )
 
     # differentiable recompute from the recorded surfaces
@@ -198,25 +200,111 @@ def _auto_tiles(b: int) -> int:
     return t
 
 
-def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto"):
+def _sort_state_by_active(st):
+    """Stable-partition the lane state: active lanes first, dead lanes last.
+
+    Dead lanes then cluster into whole tiles whose lockstep ``while_loop``
+    exits immediately — the between-bounce wavefront compaction of SURVEY §7.4
+    under static shapes.  The float state packs into one (B, 12) matrix and
+    the int state into one (B, 3) matrix so the permutation costs TWO
+    row-gathers total (TPU gathers are row-rate-bound; 15 separate (B,)
+    gathers would cost ~7x more — tools/PERF_NOTES.md).
+    """
+    b = st["active"].shape[0]
+    active = st["active"]
+    a = active.astype(jnp.int32)
+    n_act = jnp.cumsum(a)
+    pos = jnp.where(active, n_act - 1, n_act[-1] + jnp.cumsum(1 - a) - 1)
+    perm = jnp.zeros((b,), jnp.int32).at[pos].set(jnp.arange(b, dtype=jnp.int32))
+
+    flags = a | (st["specular"].astype(jnp.int32) << 1)
+    packed_f = jnp.concatenate(
+        [st["origin"], st["dir"], st["throughput"], st["radiance"]], axis=1
+    )  # (B, 12)
+    packed_i = jnp.stack([st["cur_mat"], flags, st["idx"]], axis=1)  # (B, 3)
+    sf = packed_f[perm]
+    si = packed_i[perm]
+    return dict(
+        origin=sf[:, 0:3],
+        dir=sf[:, 3:6],
+        throughput=sf[:, 6:9],
+        radiance=sf[:, 9:12],
+        cur_mat=si[:, 0],
+        active=(si[:, 1] & 1) != 0,
+        specular=(si[:, 1] & 2) != 0,
+        idx=si[:, 2],
+    )
+
+
+def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int):
+    """Per-bounce tiled integrator with between-bounce liveness compaction.
+
+    Every bounce runs as ``t`` sequential tiles (``lax.map``); before each
+    non-primary bounce the lanes are stable-partitioned active-first
+    (``_sort_state_by_active``), so terminated lanes fill whole tiles whose
+    traversal ``while_loop`` exits immediately — bounce cost tracks the live
+    fraction instead of staying flat (measured flat ~20 ms/bounce unsorted on
+    TPU v5e, tools/PERF_NOTES.md round 2).  Per-lane math is unchanged (each
+    lane keeps its own uniforms via the carried original index), so results
+    equal the unsorted path lane-for-lane.
+    """
+    b = origins.shape[0]
+    bt = b // t
+    n_bounces = uniforms.shape[1]
+    st = _init_state(origins, dirs)
+    st["idx"] = jnp.arange(b, dtype=jnp.int32)
+
+    for bounce in range(n_bounces):
+        if bounce > 0:
+            st = _sort_state_by_active(st)
+            u_b = jnp.take(uniforms[:, bounce, :], st["idx"], axis=0)
+        else:
+            u_b = uniforms[:, 0, :]
+        is_first = bounce == 0
+        may = bounce + 1 < n_bounces
+
+        idx = st.pop("idx")
+
+        def tile_fn(xs, first=is_first, m=may):
+            st_t, u_t = xs
+            return _bounce(scene, st_t, u_t, is_first=first, may_scatter=m)
+
+        st_tiles = jax.tree.map(lambda x: x.reshape((t, bt) + x.shape[1:]), st)
+        u_tiles = u_b.reshape(t, bt, -1)
+        st = jax.tree.map(
+            lambda x: x.reshape((b,) + x.shape[2:]),
+            jax.lax.map(tile_fn, (st_tiles, u_tiles)),
+        )
+        st["idx"] = idx
+
+    return jnp.zeros((b, 3), jnp.float32).at[st["idx"]].set(st["radiance"])
+
+
+def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True):
     """Trace a lane batch to completion; returns (B, 3) linear radiance.
 
-    ``uniforms``: (B, MAX_BOUNCES, N_UNIFORMS) pre-drawn uniform block (see
-    ``ops/shading.py`` for the slot map).
+    ``uniforms``: (B, n_bounces, N_UNIFORMS) pre-drawn uniform block (see
+    ``ops/shading.py`` for the slot map); the bounce axis sets the depth cap.
 
     ``tiles``: split the batch into this many sequentially-traced tiles
-    (``lax.map``), each with its own bounce/traversal loops.  A tile's
-    lockstep ``while_loop`` exits at the tile's own max step count instead of
-    the whole batch's — pixel-order lanes are spatially coherent, so tiles of
+    (``lax.map``), each with its own traversal loops.  A tile's lockstep
+    ``while_loop`` exits at the tile's own max step count instead of the
+    whole batch's — pixel-order lanes are spatially coherent, so tiles of
     ~``TILE_LANES`` lanes cut the straggler tax 2.4-2.6x on a 512^3 scene
     (TPU v5e measurement; the gather engine is row-rate-bound, so smaller
     batches lose no throughput).  ``"auto"`` targets TILE_LANES-lane tiles;
-    pass 1 to disable.  Semantics are tile-count independent (per-lane RNG).
+    pass 1 to disable.
+
+    ``compact``: sort lanes active-first between bounces so dead lanes pack
+    into tiles that exit instantly (wavefront compaction under static
+    shapes).  Semantics are tile- and compaction-independent (per-lane RNG).
     """
     b = origins.shape[0]
     t = _auto_tiles(b) if tiles == "auto" else max(1, int(tiles))
     if t <= 1 or b % t:
         return _trace_paths_block(scene, origins, dirs, uniforms)
+    if compact:
+        return _trace_paths_compacted(scene, origins, dirs, uniforms, t)
     bt = b // t
     o = origins.reshape(t, bt, 3)
     d = dirs.reshape(t, bt, 3)
@@ -371,7 +459,9 @@ def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
 
 
 def _bounce(scene: Scene, st, u, is_first: bool, may_scatter: bool):
-    res = _trace(scene, st["origin"], st["dir"])
+    # dead lanes skip the traversal entirely (a fully-dead tile's lockstep
+    # loop runs zero iterations — the compaction payoff)
+    res = _trace(scene, st["origin"], st["dir"], None if is_first else st["active"])
     return _shade(scene, st, u, res, is_first, may_scatter)
 
 
@@ -388,7 +478,7 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
 
     active = st["active"]
     miss = active & ~res.hit
-    hit = active & res.hit
+    hit = active & res.hit  # res.hit is already False on masked-dead lanes
     b = st["dir"].shape[0]
     bounce0 = jnp.full((b,), is_first)
 
@@ -426,7 +516,9 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
         )
         shadow_on = sc["do_diff"] & can_scatter & (front | sss)
         shadow_origin = jnp.where(front[:, None], hitpoint, hitpoint - OFFSET * n)
-        att = shadow_attenuation(scene, shadow_origin, sun_dir, st["cur_mat"])
+        att = shadow_attenuation(
+            scene, shadow_origin, sun_dir, st["cur_mat"], active=shadow_on
+        )
         lum = scene.sun.luminosity_pdf if strat.sun_luminosity else 1.0
         mult = jnp.abs(jnp.sum(sun_dir * n, axis=-1)) * lum * att[:, 3]
         direct = att[:, :3] * mult[:, None]
