@@ -21,7 +21,12 @@ import time
 
 
 def _build_scene(args):
-    from .models import cornell_scene, minecraft_chunk_scene, sphere_scene
+    from .models import (
+        analytic_sphere_scene,
+        cornell_scene,
+        minecraft_chunk_scene,
+        sphere_scene,
+    )
 
     if args.world:
         from .models.blockpalette import minecraft_scene_from_region
@@ -29,6 +34,7 @@ def _build_scene(args):
         return minecraft_scene_from_region(args.world, depth=args.depth)
     builders = {
         "sphere": sphere_scene,
+        "analytic": analytic_sphere_scene,
         "cornell": cornell_scene,
         "chunk": minecraft_chunk_scene,
     }
@@ -140,7 +146,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--scene", default="cornell", choices=["sphere", "cornell", "chunk"])
+        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "chunk"])
         sp.add_argument("--world", default="", help="Minecraft region file / world dir")
         sp.add_argument("--depth", type=int, default=0, help="octree depth (2..12)")
         sp.add_argument("--width", type=int, default=512)

@@ -67,10 +67,12 @@ def inverse_render(
     if key is None:
         key = jax.random.PRNGKey(0)
     if init_params is None:
+        from ..ops.texture import Atlas
+
+        tex = scene.atlas.data if isinstance(scene.atlas, Atlas) else scene.atlas
         init_params = {
-            "atlas": jnp.full_like(scene.atlas, 0.5).at[..., 3].set(
-                jnp.asarray(scene.atlas)[..., 3]
-            ),
+            # variable-resolution scenes train the texel data array only
+            "atlas": jnp.full_like(tex, 0.5).at[..., 3].set(jnp.asarray(tex)[..., 3]),
             "emittance": jnp.zeros_like(scene.materials.emittance),
         }
     params = init_params

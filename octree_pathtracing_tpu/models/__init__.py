@@ -10,7 +10,14 @@ from .camera import (
 from .materials import MaterialTable, make_material_table, air
 from .scene import Scene, make_scene, face_normals, MAX_DIST, EmitterSampling
 from .sun import Sun, SunSampling, make_sun, sky_color
-from .procedural import sphere_scene, cornell_scene, minecraft_chunk_scene, terrain_grid
+from .procedural import (
+    analytic_sphere_scene,
+    cornell_scene,
+    minecraft_chunk_scene,
+    sphere_scene,
+    terrain_grid,
+)
+from .prims import Primitives, make_primitives
 from .blockmodels import BlockModels, ModelBuilder, cross_plant_quads, slab_quads
 from .mca import load_world, build_region_octree
 from .blockpalette import compile_block_palette, minecraft_scene_from_region
@@ -33,6 +40,9 @@ __all__ = [
     "make_sun",
     "sky_color",
     "sphere_scene",
+    "analytic_sphere_scene",
+    "Primitives",
+    "make_primitives",
     "cornell_scene",
     "minecraft_chunk_scene",
 ]

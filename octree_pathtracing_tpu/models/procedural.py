@@ -77,9 +77,54 @@ def sphere_scene(depth: int = 6, earthmap: np.ndarray | None = None):
         dict(texture_index=1),
         dict(texture_index=2, specular=0.0),
     ]
-    scene = make_scene(tree, make_material_table(materials), build_atlas(textures))
+    # a supplied earthmap keeps its native resolution (rtw_image.rs accepts
+    # any size); the synthetic fallback stays at the 16x16 block size
+    atlas = build_atlas(textures, size=16 if earthmap is None else None)
+    scene = make_scene(tree, make_material_table(materials), atlas)
     camera = Camera.look_at(
         eye=(s * 0.5, s * 0.55, -s * 0.9), center=(s * 0.5, s * 0.35, s * 0.5)
+    )
+    return scene, camera
+
+
+def analytic_sphere_scene(depth: int = 5, earthmap: np.ndarray | None = None):
+    """Config 1, analytic form: a true (non-voxelized) sphere primitive above
+    the textured voxel ground slab, plus a free-standing quad — exercising the
+    reference's Scene-held quads/spheres (``scene/mod.rs:146-156``,
+    ``sphere.rs``) through the primitive path (``models/prims.py``)."""
+    from .prims import make_primitives
+
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    grid[:, 0 : max(1, s // 16), :] = 1
+    tree = build_from_dense(grid)
+
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _earthmap_like() if earthmap is None else earthmap,
+        _checker_texture(),
+        _solid_texture((220, 200, 80)),
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2, specular=0.0),
+        dict(texture_index=3),
+    ]
+    prims = make_primitives(
+        spheres=[((s * 0.5, s * 0.45, s * 0.5), s / 4.5, 2)],
+        quads=(
+            # u x v = -z: faces the camera (backface cull, quad.rs:176-179)
+            np.array([[s * 0.1, s * 0.1, s * 0.75]], np.float32),  # origin
+            np.array([[0.0, s * 0.3, 0.0]], np.float32),  # u edge (up)
+            np.array([[s * 0.25, 0.0, 0.0]], np.float32),  # v edge (right)
+            np.array([3], np.int32),
+        ),
+    )
+    atlas = build_atlas(textures, size=16 if earthmap is None else None)
+    scene = make_scene(tree, make_material_table(materials), atlas, prims=prims)
+    camera = Camera.look_at(
+        eye=(s * 0.51, s * 0.55, -s * 0.9), center=(s * 0.5, s * 0.35, s * 0.5)
     )
     return scene, camera
 

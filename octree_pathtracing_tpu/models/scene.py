@@ -44,6 +44,8 @@ class Scene:
     leaf_material: Any  # (L,) int32
     # optional block-model table (non-cube leaf geometry); None = all cubes
     models: Any = None  # BlockModels | None
+    # optional analytic primitives (free spheres/quads, scene/mod.rs:146-156)
+    prims: Any = None  # Primitives | None
     sun_sampling: SunSampling = dataclasses.field(default_factory=SunSampling.importance)
     emitter_sampling: str = EmitterSampling.NONE
     emitters_enabled: bool = True
@@ -63,6 +65,7 @@ class Scene:
             self.sun,
             self.leaf_material,
             self.models,
+            self.prims,
         ), (
             self.sun_sampling,
             self.emitter_sampling,
@@ -74,7 +77,7 @@ class Scene:
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], *aux)
+        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], ch[6], *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -159,18 +162,27 @@ def make_scene(
         # The traversal's accept callback is only needed when some leaf could
         # be rejected: an alpha-cutout texel (alpha <= eps within a texture,
         # Cuboid::intersect_texture semantics cuboid.rs:73-90) or a quad-model
-        # miss.  All-opaque cube scenes skip it entirely.
-        atlas_np = np.asarray(atlas)
+        # miss.  All-opaque cube scenes skip it entirely.  Variable-resolution
+        # atlases edge-pad, so the full-layer min equals the valid-region min.
+        from ..ops.texture import Atlas
+
+        atlas_np = np.asarray(atlas.data if isinstance(atlas, Atlas) else atlas)
         min_alpha = atlas_np[..., 3].reshape(atlas_np.shape[0], -1).min(axis=1)
         tex_idx = np.asarray(materials.texture_index)
         m_min_alpha = min_alpha[np.clip(tex_idx, 0, len(min_alpha) - 1)]
         kwargs["opaque_only"] = bool(np.all(m_min_alpha > 5e-8)) and not kwargs.get(
             "has_quad_models", False
         )
+    from ..ops.texture import Atlas as _Atlas
+
+    if isinstance(atlas, _Atlas):
+        atlas = _Atlas(jnp.asarray(atlas.data), jnp.asarray(atlas.sizes, jnp.int32))
+    else:
+        atlas = jnp.asarray(atlas)
     return Scene(
         octree=octree,
         materials=materials,
-        atlas=jnp.asarray(atlas),
+        atlas=atlas,
         sun=sun,
         leaf_material=jnp.asarray(leaf_material, jnp.int32),
         models=models,

@@ -46,11 +46,20 @@ def sharded_render(mesh: Mesh, scene: Scene, origins, dirs, uniforms):
 
 
 def apply_params(scene: Scene, params) -> Scene:
-    """Graft trainable leaves (atlas albedo, material emittance) into a scene."""
+    """Graft trainable leaves (atlas albedo, material emittance) into a scene.
+
+    ``params["atlas"]`` may be either the full atlas pytree or, for a
+    variable-resolution scene, just the texel ``data`` array (the int size
+    table is structural, not trainable)."""
     import dataclasses
 
+    from ..ops.texture import Atlas
+
+    atlas = params["atlas"]
+    if isinstance(scene.atlas, Atlas) and not isinstance(atlas, Atlas):
+        atlas = Atlas(atlas, scene.atlas.sizes)
     materials = dataclasses.replace(scene.materials, emittance=params["emittance"])
-    return dataclasses.replace(scene, atlas=params["atlas"], materials=materials)
+    return dataclasses.replace(scene, atlas=atlas, materials=materials)
 
 
 def render_loss(scene: Scene, params, origins, dirs, uniforms, target):

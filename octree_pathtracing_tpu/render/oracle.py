@@ -50,16 +50,25 @@ def scene_to_numpy(scene):
     same voxelization the device kernel does."""
     from ..octree.brick import BrickOctree, debrickify
 
+    from ..ops.texture import Atlas
+
     tree = scene.octree
     if isinstance(tree, BrickOctree):
         tree = debrickify(tree)
     m = scene.materials
+    if isinstance(scene.atlas, Atlas):
+        atlas_np = np.asarray(scene.atlas.data, np.float64)
+        atlas_sizes = np.asarray(scene.atlas.sizes)
+    else:
+        atlas_np = np.asarray(scene.atlas, np.float64)
+        atlas_sizes = None
     return dict(
         child_mask=np.asarray(tree.child_mask),
         child_data=np.asarray(tree.child_data),
         root=tree.root,
         octree_scale=tree.scale(),
-        atlas=np.asarray(scene.atlas, np.float64),
+        atlas=atlas_np,
+        atlas_sizes=atlas_sizes,
         leaf_material=np.asarray(scene.leaf_material),
         ior=np.asarray(m.ior, np.float64),
         specular=np.asarray(m.specular, np.float64),
@@ -86,12 +95,48 @@ def scene_to_numpy(scene):
         emitter_sampling=scene.emitter_sampling,
         emitters_enabled=scene.emitters_enabled,
         f_sub_surface=float(scene.f_sub_surface),
+        prims=_prims_np(scene),
     )
+
+
+def _prims_np(scene):
+    if scene.prims is None:
+        return None
+    from ..models.prims import prims_to_numpy
+
+    return prims_to_numpy(scene.prims)
+
+
+def _prim_merge(sc, origin, direction, h):
+    """Merge the octree traversal hit with the nearest analytic primitive
+    (mirrors ``render/pathtracer.py::_shade``).  Returns
+    (hit, mat, u, v, normal, t_world) with octree leaves resolved to
+    materials."""
+    oct_hit = bool(h.hit)
+    t_oct = h.t / sc["octree_scale"] if oct_hit else np.inf
+    if oct_hit:
+        mat = _mat_of_leaf(sc, h.leaf_value)
+        n = _FACE_NORMALS[h.face_id]
+        uu, vv, t_world = h.u, h.v, t_oct
+    else:
+        mat, n, uu, vv, t_world = 0, np.zeros(3), 0.0, 0.0, np.inf
+    if sc.get("prims") is not None:
+        from ..models.prims import intersect_prims_np
+
+        p_hit, p_t, p_mat, p_uv, p_n = intersect_prims_np(
+            sc["prims"], origin, direction, t_max=1024.0
+        )
+        if p_hit and p_t < t_oct:
+            return True, p_mat, p_uv[0], p_uv[1], p_n, p_t
+    return oct_hit, mat, uu, vv, n, t_world
 
 
 def _sample_atlas(sc, layer, u, v):
     atlas = sc["atlas"]
-    th, tw = atlas.shape[1], atlas.shape[2]
+    if sc.get("atlas_sizes") is not None:
+        th, tw = (int(x) for x in sc["atlas_sizes"][int(layer)])
+    else:
+        th, tw = atlas.shape[1], atlas.shape[2]
     uu = min(max(u, 0.0), 1.0)
     vv = 1.0 - min(max(v, 0.0), 1.0)
     i = min(int(uu * tw), tw - 1)
@@ -308,6 +353,22 @@ def _shadow_attenuation(sc, origin, direction, cur_mat):
         t_world = h.t / sc["octree_scale"]
         o = o + direction * t_world
         cm = mat
+    # nearest analytic primitive contributes one factor (spec shared with
+    # render/pathtracer.py::shadow_attenuation)
+    if sc.get("prims") is not None:
+        from ..models.prims import intersect_prims_np
+
+        p_hit, _, p_mat, p_uv, _ = intersect_prims_np(
+            sc["prims"], origin + direction * OFFSET, direction
+        )
+        if p_hit:
+            albedo = _sample_atlas(sc, sc["texture_index"][p_mat], p_uv[0], p_uv[1])
+            mult = 1.0 - albedo[3]
+            att[:3] *= albedo[:3] * albedo[3] + mult
+            new_w = att[3] * mult
+            if strict and sc["ior"][cur_mat] != sc["ior"][p_mat]:
+                new_w = 0.0
+            att[3] = new_w
     return att
 
 
@@ -325,7 +386,8 @@ def trace_path_oracle(sc, origin, direction, uniforms):
     for bounce in range(n_bounces):
         u = uniforms[bounce]
         h = _trace(sc, origin, d, cur_mat)
-        if not h.hit:
+        any_hit, mat, hu, hv, n, t_world = _prim_merge(sc, origin, d, h)
+        if not any_hit:
             if bounce == 0 or specular_flag:
                 sky = _sky(sc, d, "specular")
             else:
@@ -336,11 +398,8 @@ def trace_path_oracle(sc, origin, direction, uniforms):
         if bounce + 1 >= n_bounces:
             break
 
-        mat = _mat_of_leaf(sc, h.leaf_value)
-        albedo = _sample_atlas(sc, sc["texture_index"][mat], h.u, h.v)
+        albedo = _sample_atlas(sc, sc["texture_index"][mat], hu, hv)
         alpha = albedo[3]
-        n = _FACE_NORMALS[h.face_id]
-        t_world = h.t / sc["octree_scale"]
         hitpoint = origin + d * t_world
 
         metal = sc["metalness"][mat]

@@ -156,7 +156,38 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
         att_rgb = jnp.where(upd[:, None], new_rgb, att_rgb)
         w = jnp.where(upd, new_w, w)
         cm = jnp.where(upd, mat, cm)
+
+    # analytic primitives block sun rays too: the nearest prim surface
+    # contributes one attenuation factor (spec shared with the oracle; a
+    # translucent prim behind another prim is not re-marched)
+    if scene.prims is not None:
+        p_hit, _, p_mat, p_uv, _ = _prim_hit(scene, origins + dirs * OFFSET, dirs)
+        albedo_p = _albedo_at(scene, p_mat, p_uv)
+        mult_p = 1.0 - albedo_p[:, 3]
+        att_rgb = jnp.where(
+            p_hit[:, None],
+            att_rgb * (albedo_p[:, :3] * albedo_p[:, 3:4] + mult_p[:, None]),
+            att_rgb,
+        )
+        new_w = w * mult_p
+        if strict:
+            ior_change = scene.materials.ior[cur_mat] != scene.materials.ior[p_mat]
+            new_w = jnp.where(ior_change, 0.0, new_w)
+        w = jnp.where(p_hit, new_w, w)
     return jnp.concatenate([att_rgb, w[:, None]], -1)
+
+
+def _prim_hit(scene: Scene, origins, dirs):
+    """Detached analytic-primitive intersection (scene/mod.rs:146-156 free
+    quads/spheres; HitList scan hittable/mod.rs:137-148).  Geometry is
+    stop_gradient'ed like the traversal; shading gradients flow through the
+    albedo gather downstream.  Returns (hit, t, mat, uv (B,2), n (B,3))."""
+    from ..models.prims import intersect_prims
+
+    sg = jax.lax.stop_gradient
+    return intersect_prims(
+        jax.tree.map(sg, scene.prims), sg(origins), sg(dirs), MAX_DIST
+    )
 
 
 TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
@@ -477,8 +508,14 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
     strat = scene.sun_sampling
 
     active = st["active"]
-    miss = active & ~res.hit
-    hit = active & res.hit  # res.hit is already False on masked-dead lanes
+    # analytic primitives compete with the octree hit; nearest surface wins
+    if scene.prims is not None:
+        p_hit, p_t, p_mat, p_uv, p_n = _prim_hit(scene, st["origin"], st["dir"])
+        any_hit = res.hit | p_hit
+    else:
+        any_hit = res.hit
+    miss = active & ~any_hit
+    hit = active & any_hit  # res.hit is already False on masked-dead lanes
     b = st["dir"].shape[0]
     bounce0 = jnp.full((b,), is_first)
 
@@ -495,6 +532,13 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
 
     # ---- hit shading ----
     mat, hit_uv, n, t_hit = resolve_hit(scene, st["origin"], st["dir"], res)
+    if scene.prims is not None:
+        t_oct = jnp.where(res.hit, t_hit, jnp.inf)
+        use_p = p_hit & (p_t < t_oct)
+        mat = jnp.where(use_p, p_mat, mat)
+        hit_uv = jnp.where(use_p[:, None], p_uv, hit_uv)
+        n = jnp.where(use_p[:, None], p_n, n)
+        t_hit = jnp.where(use_p, p_t, t_hit)
     m = scene.materials
     albedo = _albedo_at(scene, mat, hit_uv)
     hitpoint = st["origin"] + st["dir"] * t_hit[:, None]
