@@ -11,7 +11,10 @@ multi-host TPU meshes.
 Layer map (mirrors SURVEY.md §1 but TPU-first):
 
 - ``octree``   : flat node pool, Morton codecs, vectorized SVO builders
-- ``ops``      : traversal + intersection + texture kernels (JAX & Pallas)
+- ``ops``      : traversal + intersection + texture kernels (pure JAX/XLA —
+                 Pallas was measured and rejected for this gather-bound,
+                 matmul-free workload; see tools/profile_pallas.py and
+                 tools/PERF_NOTES.md "Pallas verdict")
 - ``models``   : scene pytrees — camera, sun, materials, procedural scenes,
                  Minecraft block models and region ingestion
 - ``render``   : wavefront path tracer, progressive renderer driver, preview
