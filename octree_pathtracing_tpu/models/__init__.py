@@ -14,6 +14,7 @@ from .procedural import (
     analytic_sphere_scene,
     cornell_scene,
     minecraft_chunk_scene,
+    plant_scene,
     sphere_scene,
     terrain_grid,
 )
@@ -45,4 +46,5 @@ __all__ = [
     "make_primitives",
     "cornell_scene",
     "minecraft_chunk_scene",
+    "plant_scene",
 ]

@@ -265,3 +265,43 @@ def minecraft_chunk_scene(depth: int = 5, seed: int = 0, cache_dir: str | None =
         eye=(-s * 0.4, s * 0.8, -s * 0.4), center=(s * 0.5, s * 0.3, s * 0.5)
     )
     return scene, camera
+
+
+def plant_scene(depth: int = 3):
+    """Quad-model + sun-NEE scene for sharding dry runs and integration tests:
+    stone floor, a row of cross-plant quad models (non-simple block models),
+    and the HIGH_QUALITY sun strategy (NEE shadow walk enabled —
+    ``scene/mod.rs:78-127``)."""
+    from .blockmodels import ModelBuilder, cross_plant_quads
+    from .sun import SunSampling
+
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    grid[:, 0, :] = 1  # stone floor
+    grid[1 : s - 1 : 2, 1, 1 : s - 1 : 2] = 2  # plants
+
+    tree = build_from_dense(grid)
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((128, 128, 128)),
+        _solid_texture((40, 200, 40)),
+    ]
+    materials = [air(), dict(texture_index=1), dict(texture_index=2)]
+
+    mb = ModelBuilder()
+    m_air = mb.add_simple(0)
+    m_stone = mb.add_simple(1)
+    m_plant = mb.add_quad_model(cross_plant_quads(material=2))
+    models = mb.build([m_air, m_stone, m_plant])
+
+    scene = make_scene(
+        tree,
+        make_material_table(materials),
+        build_atlas(textures),
+        models=models,
+        sun_sampling=SunSampling.high_quality(),
+    )
+    camera = Camera.look_at(
+        eye=(s * 0.51, s * 0.61, -s * 0.9), center=(s * 0.5, s * 0.25, s * 0.5)
+    )
+    return scene, camera

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Virtual-device scaling-efficiency curve for the sharded renderer.
+
+BASELINE gate: >=85% rays/s efficiency from 1 chip -> 1 host -> >=2 hosts.
+No multi-chip hardware is reachable from this build machine, so this measures
+the *sharding mechanics* on the XLA CPU backend with N virtual devices: weak
+scaling (fixed lanes per device), mesh (dp=k), k = 1,2,4,8.
+
+Interpretation caveat (recorded with the numbers in BASELINE.md): virtual CPU
+devices share the host's physical cores — on an M-core host, k>M devices
+time-slice, so wall-clock efficiency is bounded by M/k regardless of the
+framework. The quantity this curve CAN certify is the sharding overhead:
+per-device work is embarrassingly parallel (scene replicated, no collective
+until the final pmean over 3xB floats), so any efficiency loss beyond the
+core bound is framework overhead.  Efficiency is therefore reported both raw
+(T1/Tk) and core-normalized (T1/Tk * k/min(k, M)).
+
+Usage: python tools/scaling_curve.py   (sets its own CPU/8-device env)
+"""
+
+import json
+import os
+import sys
+import time
+
+if "XLA_FLAGS" not in os.environ or "device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_llvm_disable_expensive_passes=true"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from octree_pathtracing_tpu.models import sphere_scene
+from octree_pathtracing_tpu.models.camera import pixel_grid_rays
+from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
+from octree_pathtracing_tpu.parallel import sharded_render
+from octree_pathtracing_tpu.parallel.mesh import DP_AXIS, SP_AXIS
+from octree_pathtracing_tpu.render import draw_uniforms
+from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
+
+
+def main():
+    ncores = os.cpu_count() or 1
+    lanes_per_dev = int(os.environ.get("SCALE_LANES", 4096))
+    iters = int(os.environ.get("SCALE_ITERS", 3))
+    scene, cam = sphere_scene(depth=5)
+
+    results = []
+    t1 = None
+    for k in (1, 2, 4, 8):
+        devs = np.asarray(jax.devices()[:k]).reshape(k, 1)
+        mesh = Mesh(devs, (DP_AXIS, SP_AXIS))
+        b = lanes_per_dev * k  # weak scaling: fixed lanes/device
+        side = int(np.sqrt(b))
+        origins, dirs = pixel_grid_rays(cam, side, b // side)
+        b = origins.shape[0]
+        o, d = origins[None], dirs[None]
+        u = draw_uniforms(jax.random.PRNGKey(0), b).reshape(1, b, MAX_BOUNCES, N_UNIFORMS)
+
+        jax.block_until_ready(sharded_render(mesh, scene, o, d, u))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = sharded_render(mesh, scene, o, d, u)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        rays_s = b * MAX_BOUNCES / best
+        if k == 1:
+            t1 = best
+        raw_eff = t1 / best
+        core_eff = raw_eff * k / min(k, ncores)
+        results.append(
+            dict(
+                devices=k,
+                lanes=b,
+                ms=round(best * 1e3, 1),
+                rays_per_s=round(rays_s),
+                weak_eff_raw=round(raw_eff, 3),
+                weak_eff_core_normalized=round(min(core_eff, 9.99), 3),
+            )
+        )
+        print(json.dumps(results[-1]), file=sys.stderr)
+
+    print(json.dumps({"host_cores": ncores, "curve": results}))
+
+
+if __name__ == "__main__":
+    main()
