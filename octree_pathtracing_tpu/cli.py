@@ -25,18 +25,22 @@ def _build_scene(args):
         analytic_sphere_scene,
         cornell_scene,
         minecraft_chunk_scene,
+        plant_scene,
         sphere_scene,
     )
 
     if args.world:
         from .models.blockpalette import minecraft_scene_from_region
 
-        return minecraft_scene_from_region(args.world, depth=args.depth)
+        return minecraft_scene_from_region(
+            args.world, depth=args.depth, pack_dir=getattr(args, "pack", "") or None
+        )
     builders = {
         "sphere": sphere_scene,
         "analytic": analytic_sphere_scene,
         "cornell": cornell_scene,
         "chunk": minecraft_chunk_scene,
+        "plant": plant_scene,
     }
     return builders[args.scene](depth=args.depth if args.depth else 6)
 
@@ -47,8 +51,10 @@ def cmd_render(args):
     from .render.renderer import Renderer
     from .utils.metrics import METRICS
 
+    import dataclasses
+
     scene, camera = _build_scene(args)
-    scene.sun_sampling = sun_sampling_from_name(args.sun)
+    scene = dataclasses.replace(scene, sun_sampling=sun_sampling_from_name(args.sun))
     r = Renderer(
         scene=scene,
         camera=camera,
@@ -146,8 +152,9 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "chunk"])
+        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "chunk", "plant"])
         sp.add_argument("--world", default="", help="Minecraft region file / world dir")
+        sp.add_argument("--pack", default="", help="resource pack dir (block models + textures) for --world")
         sp.add_argument("--depth", type=int, default=0, help="octree depth (2..12)")
         sp.add_argument("--width", type=int, default=512)
         sp.add_argument("--height", type=int, default=512)

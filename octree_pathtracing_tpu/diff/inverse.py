@@ -9,7 +9,6 @@ differentiable shading — SURVEY.md §7.5).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -38,14 +37,39 @@ class InverseResult:
     losses: list
 
 
-@partial(jax.jit, static_argnames=())
-def _loss_all_views(scene, params, all_origins, all_dirs, all_u, targets):
-    def one(origins, dirs, u, target):
-        rad = trace_paths(apply_params(scene, params), origins, dirs, u)
-        return jnp.mean((rad - target) ** 2)
+def make_inverse_loss(soft_weight: float = 0.25):
+    """The config-4 objective: path-traced photometric MSE, plus
+    ``soft_weight`` x the relaxed-visibility single-scatter MSE
+    (``diff.soft.soft_radiance``).
 
-    losses = jax.vmap(one)(all_origins, all_dirs, all_u, targets)
-    return jnp.mean(losses)
+    The hard term's traversal is detached, so it carries zero gradient at
+    silhouettes (a texel alpha gating whether a voxel face exists at all);
+    the soft term is the reparameterized edge-aware estimator that supplies
+    exactly that boundary gradient (VERDICT r2 #5: edge-aware gradients in
+    the product inverse-rendering path, not beside it)."""
+
+    def loss_all_views(scene, params, all_origins, all_dirs, all_u, targets):
+        sp = apply_params(scene, params)
+
+        def one(origins, dirs, u, target):
+            rad = trace_paths(sp, origins, dirs, u)
+            loss = jnp.mean((rad - target) ** 2)
+            if soft_weight > 0.0:
+                from .soft import soft_radiance
+
+                # share the first-bounce uniform row so the soft estimator's
+                # secondary diffuse sample pairs with the hard pass's
+                soft = soft_radiance(sp, origins, dirs, u=u[:, 0, :])
+                loss = loss + soft_weight * jnp.mean((soft - target) ** 2)
+            return loss
+
+        losses = jax.vmap(one)(all_origins, all_dirs, all_u, targets)
+        return jnp.mean(losses)
+
+    return loss_all_views
+
+
+_loss_all_views = make_inverse_loss(0.0)  # hard-only objective (tests, FD)
 
 
 def inverse_render(
@@ -58,11 +82,16 @@ def inverse_render(
     lr: float = 5e-2,
     key=None,
     init_params=None,
+    soft_weight: float = 0.25,
 ) -> InverseResult:
     """Optimize (atlas, emittance) to match ``targets`` (V, H*W, 3).
 
     Fresh uniform streams per step give stochastic gradients over light paths
     (the views' pixel estimators are unbiased in expectation).
+
+    ``soft_weight`` mixes the edge-aware relaxed-visibility term into the
+    objective (see :func:`make_inverse_loss`); 0 restores the hard-only
+    detached-traversal loss.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -85,7 +114,7 @@ def inverse_render(
     n_lanes = all_origins.shape[1]
     targets = jnp.asarray(targets)
 
-    grad_fn = jax.jit(jax.value_and_grad(_loss_all_views, argnums=1))
+    grad_fn = jax.jit(jax.value_and_grad(make_inverse_loss(soft_weight), argnums=1))
 
     losses = []
     for step in range(steps):

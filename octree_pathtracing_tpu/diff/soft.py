@@ -23,10 +23,15 @@ out) produces a nonzero, finite-difference-correct gradient, while the
 traversal structure itself stays detached (SURVEY.md §7.5's design, with the
 relaxation carrying the boundary term).
 
-Per-surface shading ``L_i`` is single-scatter: emitted light plus sun flat
-shading (the preview model, ``scene/mod.rs:447-452``) — the silhouette
-gradient lives at primary visibility, which is where inverse rendering needs
-it; the path-traced estimator remains the primal forward model.
+Per-surface shading ``L_i`` is the *path-traced secondary model truncated at
+one diffuse bounce with an unoccluded sky continuation*: emitted light
+(``albedo^2 * emittance``, the integrator's convention) plus
+``albedo * diff_w * sky_diffuse(diff_dir)`` with the SAME
+``diffuse_dir_and_weight`` sampler and sky model the hard integrator uses —
+so at binary alphas the composited pixel equals the hard 2-bounce render
+wherever the secondary ray escapes (tested).  The silhouette gradient lives
+at primary visibility, which is where inverse rendering needs it; the
+path-traced estimator remains the primal forward model.
 """
 
 from __future__ import annotations
@@ -35,22 +40,29 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import Scene, face_normals, MAX_DIST
-from ..models.sun import AMBIENT, sky_color, add_sun_color
+from ..models.sun import add_sun_color, add_sun_color_diffuse, random_sun_direction, sky_color
 from ..ops.brick_traversal import traverse_tree
-from ..ops.shading import EPSILON
+from ..ops.shading import EPSILON, N_UNIFORMS, U_SUN1, U_SUN2, diffuse_dir_and_weight
 from ..render.hit import _surface_of_candidate
 from ..render.pathtracer import _albedo_at
 
 K_SURFACES = 4  # recorded surfaces per ray (matches SHADOW_MAX_SURFACES)
 
 
-def _record_state_init(b: int, k: int):
+def _record_state_init(origins, k: int):
+    """Derive every array from the varying per-lane ``origins`` so the
+    traversal carry keeps consistent varying-manual-axes under shard_map
+    (same hazard as render/hit.shadow_state_init)."""
+    zf = origins[:, 0] * 0  # varying zeros, f32 (B,)
+    zi = zf.astype(jnp.int32)
+    rows_i = zi[None, :] + jnp.zeros((k, 1), jnp.int32)
+    rows_f = zf[None, :] + jnp.zeros((k, 1), jnp.float32)
     return dict(
-        count=jnp.zeros((b,), jnp.int32),
-        mats=jnp.zeros((k, b), jnp.int32),
-        uu=jnp.zeros((k, b), jnp.float32),
-        vv=jnp.zeros((k, b), jnp.float32),
-        face=jnp.zeros((k, b), jnp.int32),
+        count=zi,
+        mats=rows_i,
+        uu=rows_f,
+        vv=rows_f,
+        face=rows_i,
     )
 
 
@@ -89,12 +101,11 @@ def record_surfaces(scene: Scene, origins, dirs, k: int = K_SURFACES):
     re-gathered from the live scene by the caller)."""
     sg = jax.lax.stop_gradient
     scene_sg = jax.tree.map(sg, scene)
-    b = origins.shape[0]
 
     def builder(scene_b, o_b, d_b):
         return _make_recording_accept(scene_b, o_b, d_b, k)
 
-    state0 = _record_state_init(b, k)
+    state0 = _record_state_init(sg(origins), k)
     _, st = traverse_tree(
         scene_sg.octree,
         sg(origins),
@@ -106,38 +117,65 @@ def record_surfaces(scene: Scene, origins, dirs, k: int = K_SURFACES):
     return jax.tree.map(sg, st)
 
 
-def _surface_radiance(scene: Scene, mats, uv, face):
-    """Single-scatter surface radiance: emitted + sun flat shading
-    (``scene/mod.rs:447-452`` preview model), differentiable in atlas and
-    emittance."""
+def _surface_radiance(scene: Scene, mats, uv, face, u):
+    """Per-surface radiance under the integrator's own shading model,
+    truncated at one diffuse bounce with the secondary ray assumed to escape
+    to the sky: emitted (``albedo^2 * emittance``, ``lobe_scatter``'s
+    convention) + ``albedo * diff_w * sky_diffuse(diff_dir)`` using the same
+    ``diffuse_dir_and_weight`` sampler (``ray/mod.rs:211-373``) and miss-sky
+    model (``path_tracer.rs:26-37``), plus the unoccluded sun-NEE term when
+    the strategy enables it.  Fully differentiable in atlas and emittance."""
+    strat = scene.sun_sampling
     albedo = _albedo_at(scene, mats, uv)
     n = face_normals()[jnp.clip(face, 0, 5)]
     emit = scene.materials.emittance[mats]
     emitted = albedo[:, :3] * albedo[:, :3] * emit[:, None]
-    shading = jnp.maximum(n @ scene.sun.sw, AMBIENT)
-    lit = albedo[:, :3] * (scene.sun.emittance[None, :3] * shading[:, None])
+    diff_dir, diff_w = diffuse_dir_and_weight(
+        n, scene.sun, u, strat.importance_sampling
+    )
+    sky = sky_color((albedo.shape[0],))
+    if strat.diffuse_sun:
+        sec = add_sun_color_diffuse(scene.sun, diff_dir, sky)[:, :3]
+    else:
+        sec = sky[:, :3]
+    lit = albedo[:, :3] * diff_w[:, None] * sec
+    if strat.sun_sampling:
+        sun_dir = random_sun_direction(scene.sun, u[:, U_SUN1], u[:, U_SUN2])
+        cosns = jnp.sum(sun_dir * n, axis=-1)
+        lum = scene.sun.luminosity_pdf if strat.sun_luminosity else 1.0
+        nee = albedo[:, :3] * (jnp.abs(cosns) * lum)[:, None] * scene.sun.emittance[None, :3]
+        lit = lit + jnp.where((cosns > 0.0)[:, None], nee, 0.0)
     return emitted + lit, albedo[:, 3]
 
 
-def soft_radiance(scene: Scene, origins, dirs, k: int = K_SURFACES):
-    """Alpha-composited single-scatter radiance, differentiable through
-    visibility.  Returns (B, 3) linear radiance.
+def _default_uniforms(b: int):
+    return jnp.full((b, N_UNIFORMS), 0.5, jnp.float32)
+
+
+def soft_radiance(scene: Scene, origins, dirs, k: int = K_SURFACES, u=None):
+    """Alpha-composited radiance, differentiable through visibility.
+    Returns (B, 3) linear radiance.
 
     The hard renderer's pixel is ``L_first-accepted-surface``; this estimator
     relaxes the acceptance into front-to-back compositing over the first
     ``k`` surfaces, making the pixel a smooth function of every texel alpha
-    on the ray — the silhouette gradient.  At binary alphas (0/1 textures)
-    it equals the hard single-scatter render exactly.
+    on the ray — the silhouette gradient.  ``u``: a (B, N_UNIFORMS) uniform
+    row driving the secondary diffuse sample (the integrator's first-bounce
+    row for an unbiased pairing; a deterministic mid-cell draw when None).
+    At binary alphas it equals the hard 2-bounce render wherever the
+    secondary ray escapes.
     """
     st = record_surfaces(scene, origins, dirs, k)
     b = origins.shape[0]
+    if u is None:
+        u = _default_uniforms(b)
 
     radiance = jnp.zeros((b, 3), jnp.float32)
     transmittance = jnp.ones((b,), jnp.float32)
     count = st["count"]
     for i in range(k):
         uv = jnp.stack([st["uu"][i], st["vv"][i]], axis=-1)
-        l_i, alpha_i = _surface_radiance(scene, st["mats"][i], uv, st["face"][i])
+        l_i, alpha_i = _surface_radiance(scene, st["mats"][i], uv, st["face"][i], u)
         live = i < count
         w = jnp.where(live, transmittance * alpha_i, 0.0)
         radiance = radiance + w[:, None] * l_i
@@ -148,11 +186,11 @@ def soft_radiance(scene: Scene, origins, dirs, k: int = K_SURFACES):
     return radiance + transmittance[:, None] * sky_rgb
 
 
-def soft_loss(scene: Scene, params, origins, dirs, target):
+def soft_loss(scene: Scene, params, origins, dirs, target, u=None):
     """Photometric loss under the relaxed-visibility estimator, with
     trainable (atlas, emittance) grafted in — the silhouette-capable
     inverse-rendering objective."""
     from ..parallel.shard import apply_params
 
-    rad = soft_radiance(apply_params(scene, params), origins, dirs)
+    rad = soft_radiance(apply_params(scene, params), origins, dirs, u=u)
     return jnp.mean((rad - target) ** 2)

@@ -143,7 +143,6 @@ def cornell_scene(depth: int = 6):
     q = s // 4
     grid[s // 2 - q // 2 : s // 2 + q // 2, s - 1, s // 2 - q // 2 : s // 2 + q // 2] = L
     # tall box
-    grid[q : q + q // 1, 1 : s // 2, s // 2 : s // 2 + q] = 0  # carve nothing; place below
     grid[q : 2 * q, 1 : s // 2, s // 2 : s // 2 + q] = B1
     # short box
     grid[s - 2 * q : s - q, 1 : s // 4, q : 2 * q] = B2

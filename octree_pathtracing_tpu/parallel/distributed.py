@@ -14,10 +14,11 @@ framework replaces that with the standard JAX multi-controller model:
 - the existing `shard_map` steps (`parallel/shard.py`) run unchanged: XLA
   inserts cross-host collectives for the `psum`s.
 
-Run a 2-process CPU-backend smoke test with
-``python -m octree_pathtracing_tpu.parallel.distributed --selftest`` (used by
-``tests/test_distributed.py``); on real pods the same entry points are driven
-by the launcher (one process per host).
+Run a 2-process CPU-backend smoke test via ``tools/dist_worker.py`` (the only
+supported multi-process entry: it calls ``jax.distributed.initialize`` BEFORE
+importing this package, which would otherwise initialize the XLA backend too
+early; used by ``tests/test_distributed.py``).  On real pods the same entry
+points are driven by the launcher (one process per host).
 """
 
 from __future__ import annotations
@@ -51,19 +52,26 @@ def init_distributed(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    from jax._src.distributed import global_state
+    try:  # private API; best-effort already-initialized probe (ADVICE r2)
+        from jax._src.distributed import global_state
 
-    already_up = global_state.client is not None
+        already_up = global_state.client is not None
+    except (ImportError, AttributeError):
+        already_up = jax.process_count() > 1
     if coordinator_address and (num_processes or 0) > 1 and not already_up:
         # must run before anything touches the XLA backend — launchers that
         # import this package first should use tools/dist_worker.py, which
         # initializes the runtime before the package import
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+            )
+        except RuntimeError as e:  # redundant initialize on a live runtime
+            if "already initialized" not in str(e):
+                raise
     return {
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),

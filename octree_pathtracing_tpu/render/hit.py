@@ -130,15 +130,24 @@ def _surface_of_candidate(scene: Scene, origins, dirs, leaf_value, face_id, uv,
 
 
 def shadow_state_init(cur_mat, n_surfaces: int):
-    """Initial accept_state for the one-traversal shadow attenuation walk."""
-    b = cur_mat.shape[0]
+    """Initial accept_state for the one-traversal shadow attenuation walk.
+
+    Every array is derived from ``cur_mat`` (a varying per-lane input) rather
+    than plain ``jnp.zeros`` so the traversal ``while_loop`` carry keeps
+    consistent varying-manual-axes under shard_map (see traversal.py:137).
+    """
+    cm = cur_mat.astype(jnp.int32)
+    zi = cm * 0  # varying zeros, int32 (B,)
+    zf = zi.astype(jnp.float32)
+    rows_i = zi[None, :] + jnp.zeros((n_surfaces, 1), jnp.int32)
+    rows_f = zf[None, :] + jnp.zeros((n_surfaces, 1), jnp.float32)
     return dict(
-        count=jnp.zeros((b,), jnp.int32),
-        w=jnp.ones((b,), jnp.float32),
-        cm=cur_mat.astype(jnp.int32),
-        mats=jnp.zeros((n_surfaces, b), jnp.int32),
-        uu=jnp.zeros((n_surfaces, b), jnp.float32),
-        vv=jnp.zeros((n_surfaces, b), jnp.float32),
+        count=zi,
+        w=zf + 1.0,
+        cm=cm,
+        mats=rows_i,
+        uu=rows_f,
+        vv=rows_f,
     )
 
 

@@ -23,6 +23,8 @@ implements the same choices — see ``render/oracle.py``):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -194,15 +196,19 @@ TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
 
 def _init_state(origins, dirs):
-    b = origins.shape[0]
+    # every array derives from the varying per-lane ``origins`` so downstream
+    # while_loop carries (traversal accept-state, shadow walk) keep consistent
+    # varying-manual-axes under shard_map (see ops/traversal.py:137)
+    zf = origins[:, 0].astype(jnp.float32) * 0
+    zi = zf.astype(jnp.int32)
     return dict(
         origin=origins.astype(jnp.float32),
         dir=dirs.astype(jnp.float32),
-        throughput=jnp.ones((b, 3), jnp.float32),
-        radiance=jnp.zeros((b, 3), jnp.float32),
-        active=jnp.ones((b,), bool),
-        specular=jnp.ones((b,), bool),
-        cur_mat=jnp.zeros((b,), jnp.int32),
+        throughput=zf[:, None] + jnp.ones((1, 3), jnp.float32),
+        radiance=zf[:, None] + jnp.zeros((1, 3), jnp.float32),
+        active=zi == 0,
+        specular=zi == 0,
+        cur_mat=zi,
     )
 
 
@@ -231,7 +237,7 @@ def _auto_tiles(b: int) -> int:
     return t
 
 
-def _sort_state_by_active(st):
+def _sort_state_by_active(st, key="active"):
     """Stable-partition the lane state: active lanes first, dead lanes last.
 
     Dead lanes then cluster into whole tiles whose lockstep ``while_loop``
@@ -240,13 +246,29 @@ def _sort_state_by_active(st):
     the int state into one (B, 3) matrix so the permutation costs TWO
     row-gathers total (TPU gathers are row-rate-bound; 15 separate (B,)
     gathers would cost ~7x more — tools/PERF_NOTES.md).
+
+    ``key="octant"`` additionally groups live lanes by direction octant
+    (stable within a group, preserving pixel-order position coherence), so a
+    tile's lockstep traversal sees directionally coherent rays — fewer
+    straggler iterations on incoherent bounce wavefronts.  Measured on chip
+    before defaulting (tools/profile_sortkeys.py).
     """
     b = st["active"].shape[0]
     active = st["active"]
     a = active.astype(jnp.int32)
-    n_act = jnp.cumsum(a)
-    pos = jnp.where(active, n_act - 1, n_act[-1] + jnp.cumsum(1 - a) - 1)
-    perm = jnp.zeros((b,), jnp.int32).at[pos].set(jnp.arange(b, dtype=jnp.int32))
+    if key == "octant":
+        d = st["dir"]
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32)
+            | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] < 0).astype(jnp.int32) << 2)
+        )
+        bucket = jnp.where(active, octant, 8)  # dead lanes last
+        perm = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+    else:
+        n_act = jnp.cumsum(a)
+        pos = jnp.where(active, n_act - 1, n_act[-1] + jnp.cumsum(1 - a) - 1)
+        perm = jnp.zeros((b,), jnp.int32).at[pos].set(jnp.arange(b, dtype=jnp.int32))
 
     flags = a | (st["specular"].astype(jnp.int32) << 1)
     packed_f = jnp.concatenate(
@@ -267,7 +289,107 @@ def _sort_state_by_active(st):
     )
 
 
-def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int):
+def _is_inexact(x):
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+
+
+def _split_inexact(tree):
+    """-> (float leaves list, rebuild(float_leaves, fill) -> tree).
+
+    Integer/bool leaves have float0 cotangents, which cannot cross a
+    ``lax.cond`` boundary; the cond carries only the float leaves and the
+    rebuild reattaches the constant float0 zeros."""
+    import numpy as _np
+    from jax.dtypes import float0
+
+    leaves, treedef = jax.tree.flatten(tree)
+    f_idx = [i for i, l in enumerate(leaves) if _is_inexact(l)]
+
+    def rebuild(f_leaves):
+        out = [
+            _np.zeros(_np.shape(l), float0) for l in leaves
+        ]
+        for k, i in enumerate(f_idx):
+            out[i] = f_leaves[k]
+        return jax.tree.unflatten(treedef, out)
+
+    return [leaves[i] for i in f_idx], f_idx, rebuild
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bounce_skip(scene, st, u, may_scatter):
+    """Non-primary bounce with whole-tile dead skip (forward) and live-only
+    relinearization (backward).  Differentiable in (scene, st); ``u`` is
+    sample data (zero cotangent)."""
+    return jax.lax.cond(
+        jnp.any(st["active"]),
+        lambda s: _bounce(scene, s, u, is_first=False, may_scatter=may_scatter),
+        lambda s: s,
+        st,
+    )
+
+
+def _bounce_skip_fwd(scene, st, u, may_scatter):
+    return _bounce_skip(scene, st, u, may_scatter), (scene, st, u)
+
+
+def _bounce_skip_bwd(may_scatter, res, g):
+    scene, st, u = res
+    live = jnp.any(st["active"])
+
+    g_f, _, _ = _split_inexact(g)
+    sc_f, sc_idx, sc_rebuild = _split_inexact(scene)
+    st_f, st_idx, st_rebuild = _split_inexact(st)
+
+    def live_branch(gf):
+        _, vjp = jax.vjp(
+            lambda sc, s: _bounce(sc, s, u, is_first=False, may_scatter=may_scatter),
+            scene,
+            st,
+        )
+        # rebuild the full output cotangent (float0 zeros on int leaves)
+        g_leaves, g_def = jax.tree.flatten(g)
+        gi = 0
+        full = []
+        for l in g_leaves:
+            if _is_inexact(l):
+                full.append(gf[gi])
+                gi += 1
+            else:
+                import numpy as _np
+                from jax.dtypes import float0
+
+                full.append(_np.zeros(_np.shape(l), float0))
+        d_scene, d_st = vjp(jax.tree.unflatten(g_def, full))
+        ds_l = jax.tree.leaves(d_scene)
+        dt_l = jax.tree.leaves(d_st)
+        return [ds_l[i] for i in sc_idx], [dt_l[i] for i in st_idx]
+
+    def dead_branch(gf):
+        # identity bounce: state cotangent passes through, scene gets zero
+        return [jnp.zeros_like(x) for x in sc_f], list(gf)
+
+    d_sc_f, d_st_f = jax.lax.cond(live, live_branch, dead_branch, g_f)
+    return sc_rebuild(d_sc_f), st_rebuild(d_st_f), _zero_cotangent(u)
+
+
+def _zero_cotangent(tree):
+    import numpy as _np
+    from jax.dtypes import float0
+
+    return jax.tree.map(
+        lambda x: jnp.zeros_like(x)
+        if _is_inexact(x)
+        else _np.zeros(_np.shape(x), float0),
+        tree,
+    )
+
+
+_bounce_skip.defvjp(_bounce_skip_fwd, _bounce_skip_bwd)
+
+
+def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
+                           sort_key: str = "active", skip_dead: bool = False):
     """Per-bounce tiled integrator with between-bounce liveness compaction.
 
     Every bounce runs as ``t`` sequential tiles (``lax.map``); before each
@@ -287,7 +409,7 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int):
 
     for bounce in range(n_bounces):
         if bounce > 0:
-            st = _sort_state_by_active(st)
+            st = _sort_state_by_active(st, key=sort_key)
             u_b = jnp.take(uniforms[:, bounce, :], st["idx"], axis=0)
         else:
             u_b = uniforms[:, 0, :]
@@ -298,7 +420,17 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int):
 
         def tile_fn(xs, first=is_first, m=may):
             st_t, u_t = xs
-            return _bounce(scene, st_t, u_t, is_first=first, may_scatter=m)
+            if first or not skip_dead:
+                return _bounce(scene, st_t, u_t, is_first=first, may_scatter=m)
+            # skip_dead: a fully-dead tile skips the whole bounce body — not
+            # just the traversal loop but also resolve_hit/shading, whose
+            # gather ops carry a fixed ~40-70us cost each regardless of
+            # liveness (PERF_NOTES gather cost model).  _bounce_skip is a
+            # custom_vjp: naive AD through lax.cond measured 114.7 ms fwd+bwd
+            # vs 69 without (round-3 bench); the custom rule re-linearizes
+            # only live tiles in the backward (remat) and zero-skips dead
+            # ones.
+            return _bounce_skip(scene, st_t, u_t, m)
 
         st_tiles = jax.tree.map(lambda x: x.reshape((t, bt) + x.shape[1:]), st)
         u_tiles = u_b.reshape(t, bt, -1)
@@ -311,7 +443,8 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int):
     return jnp.zeros((b, 3), jnp.float32).at[st["idx"]].set(st["radiance"])
 
 
-def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True):
+def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True,
+                sort_key: str = "active", skip_dead: bool = False):
     """Trace a lane batch to completion; returns (B, 3) linear radiance.
 
     ``uniforms``: (B, n_bounces, N_UNIFORMS) pre-drawn uniform block (see
@@ -335,7 +468,9 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     if t <= 1 or b % t:
         return _trace_paths_block(scene, origins, dirs, uniforms)
     if compact:
-        return _trace_paths_compacted(scene, origins, dirs, uniforms, t)
+        return _trace_paths_compacted(
+            scene, origins, dirs, uniforms, t, sort_key, skip_dead
+        )
     bt = b // t
     o = origins.reshape(t, bt, 3)
     d = dirs.reshape(t, bt, 3)
@@ -344,6 +479,31 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
         lambda xs: _trace_paths_block(scene, xs[0], xs[1], xs[2]), (o, d, u)
     )
     return out.reshape(b, 3)
+
+
+def trace_paths_census(scene: Scene, origins, dirs, uniforms):
+    """Untiled integrator that also returns per-bounce live-lane counts.
+
+    Returns (radiance (B,3), live (n_bounces,) int32) where ``live[i]`` is
+    the number of lanes entering bounce ``i`` active.  A "ray" in the
+    nominal ``lanes * n_bounces`` convention traverses only when its lane is
+    live — this census is the honest denominator for rays/s (VERDICT r2 #8:
+    compaction must not silently inflate the headline metric).  Diagnostic
+    path: unsorted/untiled, so counts are layout-independent.
+    """
+    state = _init_state(origins, dirs)
+    n_bounces = uniforms.shape[1]
+    live = []
+    for bounce in range(n_bounces):
+        live.append(jnp.sum(state["active"].astype(jnp.int32)))
+        state = _bounce(
+            scene,
+            state,
+            uniforms[:, bounce, :],
+            is_first=bounce == 0,
+            may_scatter=bounce + 1 < n_bounces,
+        )
+    return state["radiance"], jnp.stack(live)
 
 
 def _trace_paths_branched_block(scene: Scene, origins, dirs, uniforms):

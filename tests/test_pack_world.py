@@ -1,0 +1,197 @@
+"""Resource-pack assets reaching an actual world render (VERDICT r2 #4).
+
+Builds a synthetic resource pack (stone cube + rotated-element cross plant)
+plus a tiny .mca region fixture, loads it through
+``minecraft_scene_from_region(pack_dir=...)``, and checks that the pack's
+geometry and textures — not the phase-1 color cubes — are what renders:
+the reference's ``ModelBuilder`` in the scene-build path
+(``resource_manager.rs:444-486``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from octree_pathtracing_tpu.models.mca import make_region_fixture
+
+
+def _write_json(root, rel, obj):
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(obj, f)
+
+
+def _write_png(root, rel, rgba):
+    from PIL import Image
+
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[...] = rgba
+    Image.fromarray(img, "RGBA").save(p)
+
+
+@pytest.fixture
+def pack_dir(tmp_path):
+    root = str(tmp_path / "pack")
+    _write_json(
+        root,
+        "assets/minecraft/models/block/cube.json",
+        {
+            "elements": [
+                {
+                    "from": [0, 0, 0],
+                    "to": [16, 16, 16],
+                    "faces": {
+                        f: {"texture": "#" + f}
+                        for f in ("down", "up", "north", "south", "west", "east")
+                    },
+                }
+            ]
+        },
+    )
+    _write_json(
+        root,
+        "assets/minecraft/models/block/cube_all.json",
+        {
+            "parent": "block/cube",
+            "textures": {
+                f: "#all" for f in ("down", "up", "north", "south", "west", "east")
+            },
+        },
+    )
+    _write_json(
+        root,
+        "assets/minecraft/models/block/stone.json",
+        {"parent": "block/cube_all", "textures": {"all": "block/stone"}},
+    )
+    _write_json(
+        root,
+        "assets/minecraft/blockstates/stone.json",
+        {"variants": {"": {"model": "block/stone"}}},
+    )
+    # the vanilla cross model: two thin elements rotated +-45 deg with rescale
+    _write_json(
+        root,
+        "assets/minecraft/models/block/cross.json",
+        {
+            "textures": {"particle": "#cross"},
+            "elements": [
+                {
+                    "from": [0.8, 0, 8],
+                    "to": [15.2, 16, 8],
+                    "rotation": {"origin": [8, 8, 8], "axis": "y", "angle": 45, "rescale": True},
+                    "faces": {
+                        "north": {"texture": "#cross"},
+                        "south": {"texture": "#cross"},
+                    },
+                },
+                {
+                    "from": [0.8, 0, 8],
+                    "to": [15.2, 16, 8],
+                    "rotation": {"origin": [8, 8, 8], "axis": "y", "angle": -45, "rescale": True},
+                    "faces": {
+                        "north": {"texture": "#cross"},
+                        "south": {"texture": "#cross"},
+                    },
+                },
+            ],
+        },
+    )
+    _write_json(
+        root,
+        "assets/minecraft/models/block/short_grass.json",
+        {"parent": "block/cross", "textures": {"cross": "block/short_grass"}},
+    )
+    _write_json(
+        root,
+        "assets/minecraft/blockstates/short_grass.json",
+        {"variants": {"": {"model": "block/short_grass"}}},
+    )
+    _write_png(root, "assets/minecraft/textures/block/stone.png", (200, 30, 30, 255))
+    _write_png(root, "assets/minecraft/textures/block/short_grass.png", (30, 200, 30, 255))
+    return root
+
+
+@pytest.fixture
+def world_path(tmp_path):
+    # stone floor (ly=0) + one short_grass on top at local (7, 1, 5)
+    indices = np.zeros(4096, np.uint16)
+    for lz in range(16):
+        for lx in range(16):
+            indices[lz * 16 + lx] = 1
+    indices[(1 * 16 + 5) * 16 + 7] = 2
+    palette = ["minecraft:air", "minecraft:stone", "minecraft:short_grass"]
+    buf = make_region_fixture({(0, 0): {0: (palette, indices)}})
+    p = str(tmp_path / "r.0.0.mca")
+    with open(p, "wb") as f:
+        f.write(buf)
+    return p
+
+
+def test_pack_world_has_quad_geometry(pack_dir, world_path):
+    from octree_pathtracing_tpu.models.blockpalette import minecraft_scene_from_region
+    from octree_pathtracing_tpu.render.hit import resolve_hit
+    from octree_pathtracing_tpu.render.pathtracer import _trace, _albedo_at
+
+    import jax.numpy as jnp
+
+    scene, _cam = minecraft_scene_from_region(world_path, pack_dir=pack_dir)
+    assert scene.models is not None
+    assert scene.has_quad_models
+
+    # plant voxel is at world (7, 65, 5) (section window shifts y by +64).
+    # Horizontal +x rays at plant height: through the voxel center the X-cross
+    # quads intersect; hugging the voxel's z=5 edge they do not (a full cube
+    # would block both) — non-cube geometry observable from the render path.
+    origins = jnp.asarray(
+        [[0.0, 65.5, 5.6], [0.0, 65.5, 5.02]], jnp.float32
+    )
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    res = _trace(scene, origins, dirs)
+    hit = np.asarray(res.hit)
+    assert hit[0], "center ray must hit the cross-plant quads"
+    assert not hit[1], "edge ray must pass through the plant voxel"
+
+    mat, uv, _n, _t = resolve_hit(scene, origins, dirs, res)
+    albedo = np.asarray(_albedo_at(scene, mat, uv))
+    # pack texture is green (30, 200, 30): green channel dominates
+    assert albedo[0, 1] > albedo[0, 0] and albedo[0, 1] > albedo[0, 2]
+
+
+def test_pack_world_cube_textures(pack_dir, world_path):
+    from octree_pathtracing_tpu.models.blockpalette import minecraft_scene_from_region
+    from octree_pathtracing_tpu.render.hit import resolve_hit
+    from octree_pathtracing_tpu.render.pathtracer import _trace, _albedo_at
+
+    import jax.numpy as jnp
+
+    scene, _cam = minecraft_scene_from_region(world_path, pack_dir=pack_dir)
+    # straight-down ray onto the stone floor away from the plant
+    origins = jnp.asarray([[2.5, 70.0, 2.5]], jnp.float32)
+    dirs = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    res = _trace(scene, origins, dirs)
+    assert np.asarray(res.hit)[0]
+    mat, uv, _n, _t = resolve_hit(scene, origins, dirs, res)
+    albedo = np.asarray(_albedo_at(scene, mat, uv))
+    # pack stone is red (200, 30, 30), the palette fallback is gray
+    assert albedo[0, 0] > 2.5 * albedo[0, 1]
+
+
+def test_pack_world_renders(pack_dir, world_path):
+    from octree_pathtracing_tpu.models.blockpalette import minecraft_scene_from_region
+    from octree_pathtracing_tpu.models.camera import Camera, pixel_grid_rays
+    from octree_pathtracing_tpu.render import draw_uniforms, trace_paths
+
+    import jax
+
+    scene, _ = minecraft_scene_from_region(world_path, pack_dir=pack_dir)
+    cam = Camera.look_at(eye=(7.5, 67.0, -2.0), center=(7.5, 65.0, 5.5))
+    origins, dirs = pixel_grid_rays(cam, 16, 12)
+    u = draw_uniforms(jax.random.PRNGKey(0), origins.shape[0])
+    img = np.asarray(trace_paths(scene, origins, dirs, u))
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01

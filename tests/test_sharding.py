@@ -14,16 +14,18 @@ from octree_pathtracing_tpu.parallel import (
 from octree_pathtracing_tpu.render import draw_uniforms, trace_paths
 
 
-def _lanes(scene, cam, w, h, s, seed=0):
+def _lanes(scene, cam, w, h, s, seed=0, n_bounces=None):
+    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
+    from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
+
+    if n_bounces is None:
+        n_bounces = MAX_BOUNCES
     origins, dirs = pixel_grid_rays(cam, w, h)
     b = origins.shape[0]
     o = jnp.broadcast_to(origins[None], (s, b, 3))
     d = jnp.broadcast_to(dirs[None], (s, b, 3))
-    u = draw_uniforms(jax.random.PRNGKey(seed), s * b).reshape(s, b, -1)
-    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
-    from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
-
-    u = u.reshape(s, b, MAX_BOUNCES, N_UNIFORMS)
+    u = draw_uniforms(jax.random.PRNGKey(seed), s * b, n_bounces=n_bounces)
+    u = u.reshape(s, b, n_bounces, N_UNIFORMS)
     return o, d, u
 
 
@@ -37,7 +39,10 @@ def test_sharded_render_matches_single_device():
     scene, cam = sphere_scene(depth=3)
     mesh = make_mesh()  # (4, 2)
     s, w, h = 2, 8, 4  # B=32 divisible by dp=4; S=2 by sp=2
-    o, d, u = _lanes(scene, cam, w, h, s)
+    # 2 bounces: the sharding semantics under test are bounce-count
+    # independent, and the unrolled program compiles ~2.5x faster (VERDICT
+    # r2 #6 CI budget)
+    o, d, u = _lanes(scene, cam, w, h, s, n_bounces=2)
     out = np.asarray(sharded_render(mesh, scene, o, d, u))
 
     # single-device reference: flatten all lanes, mean over samples
@@ -48,11 +53,40 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_nee_render_and_grads():
+    """The full NEE integrator (stateful shadow walk + quad-model accept)
+    under shard_map — the round-2 multichip regression (VMA-uniform
+    accept-state carry, `shadow_state_init`) reproduced here so it can never
+    land silently again.  Shapes mirror `__graft_entry__.dryrun_multichip`
+    exactly so the two share one persistent-cache executable."""
+    from octree_pathtracing_tpu.models import plant_scene
+    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
+    from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
+
+    mesh = make_mesh()  # (4, 2)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    scene, cam = plant_scene(depth=3)
+    w, h, s = 4 * dp, 4, 2 * sp  # == dryrun_multichip shapes
+    origins, dirs = pixel_grid_rays(cam, w, h)
+    b = origins.shape[0]
+    o = jnp.broadcast_to(origins[None], (s, b, 3))
+    d = jnp.broadcast_to(dirs[None], (s, b, 3))
+    u = draw_uniforms(jax.random.PRNGKey(0), s * b).reshape(
+        s, b, MAX_BOUNCES, N_UNIFORMS
+    )
+    params = {"atlas": scene.atlas, "emittance": scene.materials.emittance}
+    target = jnp.zeros((s, b, 3), jnp.float32)
+    loss, grads = sharded_train_step(mesh, scene, params, o, d, u, target)
+    assert np.isfinite(float(loss))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_sharded_train_step_grads():
     scene, cam = sphere_scene(depth=3)
     mesh = make_mesh()
     s, w, h = 2, 8, 4
-    o, d, u = _lanes(scene, cam, w, h, s, seed=2)
+    o, d, u = _lanes(scene, cam, w, h, s, seed=2, n_bounces=2)
     params = {
         "atlas": scene.atlas,
         "emittance": scene.materials.emittance,

@@ -11,16 +11,20 @@ Run on the real chip. Two questions, both answered by measurement:
      c. flat ``take_along_axis`` (B*W,1)               -> does not lower
      d. scalar-prefetch BlockSpec row gather (grid=B)  -> (1,8) blocks violate
         the (8,128) tile floor; padding rows 16x defeats the point
-     e. SMEM-index fori_loop of VMEM dynamic slices    -> lowers; ~4.6x SLOWER
+     e. SMEM-index fori_loop of VMEM dynamic slices    -> lowers; SLOWER
         than XLA's gather (sequential scalar-issued row copies)
    Verdict: **no** — Mosaic has no vectorized scattered-gather primitive; the
    XLA gather (which saturates the hardware's row-rate) is the floor.
+   Ratio convention everywhere (incl. PERF_NOTES): pallas/xla, >1 = pallas
+   slower.  Both sides are timed as standalone jitted dispatches that
+   materialize the (B, W) gathered block (symmetric protocol, ADVICE r2).
 
 2. Can ``pltpu.prng_random_bits`` (hardware PRNG) beat threefry for the
    per-pass uniform block (B=65536 x 5 bounces x 18 slots)?
-   Verdict: **no** — measured 0.6x (1.6 ms vs 1.0 ms for 4.7 MFloats); XLA's
-   vectorized threefry is faster than the HW PRNG stream at this width, and
-   uniforms are <2% of a render pass either way.
+   Verdict: **no** — measured pallas/xla = 1.7x SLOWER (1.67 ms vs 0.97 ms
+   for 4.7 MFloats, tools/PERF_NOTES.md); XLA's vectorized threefry is faster
+   than the HW PRNG stream at this width, and uniforms are <2% of a render
+   pass either way.
 
 The renderer's hot loop is gather-bound with a ~free VPU body and no matmul
 structure, so the MXU — the unit Pallas exists to feed — has nothing to do;
@@ -82,22 +86,21 @@ def probe_gather():
     out = jax.block_until_ready(pallas_gather(idx, table))
     assert np.array_equal(np.asarray(out), ref), "pallas gather parity"
 
-    # XLA gather measured in-loop (amortizing dispatch, as the traversal uses it)
+    # XLA gather as a standalone dispatch materializing the same (B, 8)
+    # output block — symmetric with the Pallas kernel (ADVICE r2: the old
+    # 20-step scan reduced to a scalar amortized dispatch and possibly never
+    # round-tripped the block to HBM, inflating the Pallas disadvantage)
     @jax.jit
-    def xla_chain(idx, table):
-        def step(i, _):
-            g = table[(idx + i) % N]
-            return i + 1, g.sum()
+    def xla_gather(idx, table):
+        return table[idx]
 
-        _, s = jax.lax.scan(step, 0, None, length=20)
-        return s
-
-    jax.block_until_ready(xla_chain(idx, table))
+    jax.block_until_ready(xla_gather(idx, table))
     t_pl = bench(pallas_gather, idx, table)
-    t_xla = bench(xla_chain, idx, table, iters=10) / 20
+    t_xla = bench(xla_gather, idx, table)
     print(f"gather B={B} over {N} rows:")
     print(f"  pallas SMEM-loop : {t_pl*1e6:8.1f} us ({t_pl/B*1e9:6.2f} ns/row)")
-    print(f"  XLA gather (loop): {t_xla*1e6:8.1f} us ({t_xla/B*1e9:6.2f} ns/row)")
+    print(f"  XLA gather       : {t_xla*1e6:8.1f} us ({t_xla/B*1e9:6.2f} ns/row)")
+    print(f"  ratio pallas/xla : {t_pl/t_xla:.1f}x (>1 = pallas slower)")
     print(f"  pallas/xla: {t_pl/t_xla:.2f}x  (>1 = pallas slower)")
 
 

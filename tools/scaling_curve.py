@@ -65,7 +65,11 @@ def main():
         b = lanes_per_dev * k  # weak scaling: fixed lanes/device
         side = int(np.sqrt(b))
         origins, dirs = pixel_grid_rays(cam, side, b // side)
-        b = origins.shape[0]
+        # the pixel grid may not hit lanes_per_dev*k exactly (e.g. k=8:
+        # side=181 -> 32761 lanes); trim to a multiple of k so the lane axis
+        # shards evenly over dp (ADVICE r2)
+        b = (origins.shape[0] // k) * k
+        origins, dirs = origins[:b], dirs[:b]
         o, d = origins[None], dirs[None]
         u = draw_uniforms(jax.random.PRNGKey(0), b).reshape(1, b, MAX_BOUNCES, N_UNIFORMS)
 
