@@ -5,8 +5,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md): the baseline value below is
-this framework's own round-1 measurement on one TPU v5e chip; vs_baseline
-tracks progress across rounds.
+this framework's own round-2 driver-recorded measurement on one TPU v5e chip
+(BENCH_r02.json; derivation in BASELINE.md "Throughput baseline derivation");
+vs_baseline tracks progress across rounds.
 
 Env knobs: BENCH_DEPTH (default 9 -> 512^3), BENCH_RES (default 512),
 BENCH_ITERS (default 5).
@@ -37,7 +38,7 @@ def main():
     from octree_pathtracing_tpu.models.camera import pixel_grid_rays
     from octree_pathtracing_tpu.parallel.shard import apply_params
     from octree_pathtracing_tpu.render import draw_uniforms, trace_paths
-    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
+    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES, trace_paths_census
 
     t0 = time.time()
     scene, cam = minecraft_chunk_scene(
@@ -49,7 +50,13 @@ def main():
     lanes = origins.shape[0]
     u = draw_uniforms(jax.random.PRNGKey(0), lanes)
 
-    fwd = jax.jit(trace_paths)
+    # skip_dead (whole-tile dead skip) pays in forward-only rendering (9% —
+    # the Renderer's progressive loop default).  In fwd+bwd it CANNOT pay:
+    # XLA's saved-residual backward is ~12 ms, while any custom-vjp variant
+    # must remat at least the shading (measured: naive cond AD 114.7 ms,
+    # full remat 173.5 ms, shade-only remat 110.5 ms vs 69.1 plain —
+    # tools/PERF_NOTES round 3), so the differentiated path leaves it off.
+    fwd = jax.jit(lambda s, o, d, uu: trace_paths(s, o, d, uu, skip_dead=True))
 
     params = {"atlas": scene.atlas, "emittance": scene.materials.emittance}
 
@@ -85,13 +92,25 @@ def main():
     fb_s = steady_state(fwdbwd, params, origins, dirs, u)
 
     # a "ray" = one traversal launch of one lane (primary or bounce),
-    # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.
+    # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.  The
+    # NOMINAL convention counts lanes*bounces; the LIVE census counts only
+    # lanes that actually enter a bounce active (compaction's whole point is
+    # that terminated lanes don't traverse — VERDICT r2 #8: report both so
+    # early-exit changes can't silently inflate the headline).
     rays = lanes * MAX_BOUNCES
+    _, live = jax.jit(trace_paths_census)(scene, origins, dirs, u)
+    live = np.asarray(jax.block_until_ready(live))
+    live_rays = int(live.sum())
     fwd_rays_s = rays / fwd_s
     fb_rays_s = rays / fb_s
 
-    # Round-1 self-baseline (BASELINE.md): fwd+bwd rays/s on 1 TPU v5e chip.
-    baseline = float(os.environ.get("BENCH_BASELINE", 1.23e7)) if on_tpu else fb_rays_s
+    # Self-baseline (BASELINE.md "Throughput baseline derivation"): the
+    # round-2 driver artifact BENCH_r02.json, measured fwd+bwd on one idle
+    # TPU v5e chip with this file's protocol (min-of-trials steady state,
+    # depth 9, 256x256, 5 bounces, nominal-ray convention).  The round-1
+    # constant 1.23e7 was never reproducible at the recorded protocol and is
+    # retired (VERDICT r2 weak #2).
+    baseline = float(os.environ.get("BENCH_BASELINE", 4.75e6)) if on_tpu else fb_rays_s
 
     diag = dict(
         backend=backend,
@@ -107,6 +126,10 @@ def main():
         fwd_rays_per_s=round(fwd_rays_s),
         fwd_ms=round(fwd_s * 1e3, 1),
         fwdbwd_ms=round(fb_s * 1e3, 1),
+        rays_nominal=rays,
+        rays_live=live_rays,
+        live_fracs=[round(float(x) / lanes, 3) for x in live],
+        live_rays_per_s_fwdbwd=round(live_rays / fb_s),
     )
     print("# " + json.dumps(diag), file=sys.stderr)
     print(

@@ -192,6 +192,13 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
     row-gather per iteration fetches the whole node (TPU gather cost is per
     row, nearly independent of row width); the slot select is a VPU mux tree.
 
+    The iteration runs the decision block TWICE against the one fetched row
+    (``_examine``): lanes whose first action was a same-parent ADVANCE
+    immediately examine their new sibling — the row is already in registers,
+    and the VPU select-tree body is ~free next to the gather (PERF_NOTES:
+    same-parent ADVANCE is ~23% of steps; fusing it removes those gather
+    iterations).
+
     ``scale_base`` = MAX_SCALE - depth: stack rows are indexed by
     ``scale - scale_base`` (the only scales a depth-deep tree can visit).
 
@@ -201,7 +208,22 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
     not require ``t_min > 0``: a ray starting inside a brick must still DDA
     its tail cells (the per-cell t>0 check applies instead).
     """
+    row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
+    s1, fused_ok = _examine(row, c, s, scale_base, brick_bit, None)
+    s2, _ = _examine(row, c, s1, scale_base, brick_bit, fused_ok)
+    return s2._replace(step=s.step + 1)
+
+
+def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask):
+    """One masked PUSH/ADVANCE/POP/hit decision against a fetched node row.
+
+    ``act_mask``: lanes allowed to act (None = all).  Returns
+    ``(new_carry, same_parent)`` where ``same_parent`` marks lanes that did a
+    non-pop ADVANCE (their next examination can reuse the same row).
+    """
     active = s.status == ACTIVE
+    if act_mask is not None:
+        active = active & act_mask
 
     # loop-top distance cap (octree_traversal.rs:128-130)
     dist_miss = active & (s.t_min > c.max_dst)
@@ -210,7 +232,6 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
     tc_max = jnp.min(t_corner, axis=0)
 
     slot = s.index ^ c.mirror
-    row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
     word = _mux8(slot, [row[:, i] for i in range(8)])
     value = word & VALUE_MASK
     present = ((word >> PRESENT_BIT) & 1) != 0
@@ -318,6 +339,7 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
         status = jnp.where(brick_hit, BRICK, status)
     status = jnp.where(dist_miss | pop_miss, MISS, status)
 
+    same_parent = do_adv & ~do_pop & (status == ACTIVE)
     return Carry(
         pos=pos,
         index=index,
@@ -331,9 +353,9 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None):
         stack_t=stack_t,
         status=status,
         reject=jnp.where(active, False, s.reject),
-        step=s.step + 1,
+        step=s.step,
         user=s.user,
-    )
+    ), same_parent
 
 
 def _hit_info(c: RayConstants, s: Carry):
@@ -454,26 +476,36 @@ def traverse(
             prev_status = s.status
             s = _step(nodes_packed, consts, s, scale_base)
             fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
-            face, uu, vv, unmirrored_pos = _hit_info(consts, s)
-            leaf = _leaf_value(nodes_packed, consts, s)
-            args = (
-                leaf.astype(_u32),
-                face,
-                jnp.stack([uu, vv], axis=-1),
-                s.t_min * inv_scale,
-                ((unmirrored_pos - 1.0) * inv_scale).T,
-                s.scale_exp2 * inv_scale,
-            )
-            if stateful:
-                ok, user = accept_fn(s.user, *args, fresh=fresh)
-                s = s._replace(user=user)
-            else:
-                ok = accept_fn(*args)
-            rej = fresh & ~ok
-            return s._replace(
-                status=jnp.where(rej, ACTIVE, s.status),
-                reject=rej | s.reject,
-            )
+
+            def run_accept(s, fresh=fresh):
+                face, uu, vv, unmirrored_pos = _hit_info(consts, s)
+                leaf = _leaf_value(nodes_packed, consts, s)
+                args = (
+                    leaf.astype(_u32),
+                    face,
+                    jnp.stack([uu, vv], axis=-1),
+                    s.t_min * inv_scale,
+                    ((unmirrored_pos - 1.0) * inv_scale).T,
+                    s.scale_exp2 * inv_scale,
+                )
+                if stateful:
+                    ok, user = accept_fn(s.user, *args, fresh=fresh)
+                    s = s._replace(user=user)
+                else:
+                    ok = accept_fn(*args)
+                rej = fresh & ~ok
+                return s._replace(
+                    status=jnp.where(rej, ACTIVE, s.status),
+                    reject=rej | s.reject,
+                )
+
+            # the accept path costs several gather ops (leaf word, material
+            # row, atlas texel — each with the fixed per-gather-op cost of
+            # tools/PERF_NOTES.md); most lockstep iterations produce no fresh
+            # candidate in any lane, so gate the whole block on one runtime
+            # flag.  The loop is fully detached from AD (no VJP through
+            # lax.cond here).
+            return lax.cond(jnp.any(fresh), run_accept, lambda s: s, s)
 
     s = lax.while_loop(cond, body, carry0)
 

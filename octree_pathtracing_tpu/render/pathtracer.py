@@ -316,11 +316,26 @@ def _split_inexact(tree):
     return [leaves[i] for i in f_idx], f_idx, rebuild
 
 
+def _dummy_hitres(b: int):
+    from ..ops.traversal import HitResult
+
+    return HitResult(
+        hit=jnp.zeros((b,), bool),
+        t=jnp.full((b,), jnp.inf, jnp.float32),
+        face_id=jnp.full((b,), -1, jnp.int32),
+        uv=jnp.zeros((b, 2), jnp.float32),
+        leaf_value=jnp.zeros((b,), jnp.uint32),
+        voxel_pos=jnp.zeros((b, 3), jnp.float32),
+        voxel_size=jnp.zeros((b,), jnp.float32),
+        steps=jnp.int32(0),
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _bounce_skip(scene, st, u, may_scatter):
     """Non-primary bounce with whole-tile dead skip (forward) and live-only
-    relinearization (backward).  Differentiable in (scene, st); ``u`` is
-    sample data (zero cotangent)."""
+    shade relinearization (backward).  Differentiable in (scene, st); ``u``
+    is sample data (zero cotangent)."""
     return jax.lax.cond(
         jnp.any(st["active"]),
         lambda s: _bounce(scene, s, u, is_first=False, may_scatter=may_scatter),
@@ -330,11 +345,26 @@ def _bounce_skip(scene, st, u, may_scatter):
 
 
 def _bounce_skip_fwd(scene, st, u, may_scatter):
-    return _bounce_skip(scene, st, u, may_scatter), (scene, st, u)
+    live = jnp.any(st["active"])
+    b = st["dir"].shape[0]
+
+    def live_b(s):
+        # == _bounce(is_first=False) split so the (detached) traversal result
+        # can be saved as a residual — the backward then remats only _shade,
+        # never the while_loop (the naive remat re-traversed: 173 ms fwd+bwd
+        # vs 69, tools/PERF_NOTES round 3)
+        res = _trace(scene, s["origin"], s["dir"], s["active"])
+        return _shade(scene, s, u, res, False, may_scatter), res
+
+    def dead_b(s):
+        return s, _dummy_hitres(b)
+
+    out, res = jax.lax.cond(live, live_b, dead_b, st)
+    return out, (scene, st, u, res)
 
 
-def _bounce_skip_bwd(may_scatter, res, g):
-    scene, st, u = res
+def _bounce_skip_bwd(may_scatter, resid, g):
+    scene, st, u, res = resid
     live = jnp.any(st["active"])
 
     g_f, _, _ = _split_inexact(g)
@@ -343,11 +373,14 @@ def _bounce_skip_bwd(may_scatter, res, g):
 
     def live_branch(gf):
         _, vjp = jax.vjp(
-            lambda sc, s: _bounce(sc, s, u, is_first=False, may_scatter=may_scatter),
+            lambda sc, s: _shade(sc, s, u, res, False, may_scatter),
             scene,
             st,
         )
         # rebuild the full output cotangent (float0 zeros on int leaves)
+        import numpy as _np
+        from jax.dtypes import float0
+
         g_leaves, g_def = jax.tree.flatten(g)
         gi = 0
         full = []
@@ -356,9 +389,6 @@ def _bounce_skip_bwd(may_scatter, res, g):
                 full.append(gf[gi])
                 gi += 1
             else:
-                import numpy as _np
-                from jax.dtypes import float0
-
                 full.append(_np.zeros(_np.shape(l), float0))
         d_scene, d_st = vjp(jax.tree.unflatten(g_def, full))
         ds_l = jax.tree.leaves(d_scene)
