@@ -60,8 +60,12 @@ def main():
 
     params = {"atlas": scene.atlas, "emittance": scene.materials.emittance}
 
-    def loss_fn(p, o, d, uu):
-        rad = trace_paths(apply_params(scene, p), o, d, uu)
+    # scene rides as a jit ARGUMENT, never a closure: closed-over pools
+    # become inlined constants in the compile request (the 257 MB supernode
+    # table overflows the axon remote-compile body limit, HTTP 413) and
+    # constant-fold at trace time (tools/PERF_NOTES.md round 2)
+    def loss_fn(p, scene_, o, d, uu):
+        rad = trace_paths(apply_params(scene_, p), o, d, uu)
         return jnp.mean(rad)
 
     fwdbwd = jax.jit(jax.grad(loss_fn))
@@ -71,7 +75,7 @@ def main():
     jax.block_until_ready(fwd(scene, origins, dirs, u))
     fwd_compile_s = time.time() - t0
     t0 = time.time()
-    jax.block_until_ready(fwdbwd(params, origins, dirs, u))
+    jax.block_until_ready(fwdbwd(params, scene, origins, dirs, u))
     bwd_compile_s = time.time() - t0
 
     def steady_state(fn, *args):
@@ -89,7 +93,7 @@ def main():
         return best
 
     fwd_s = steady_state(fwd, scene, origins, dirs, u)
-    fb_s = steady_state(fwdbwd, params, origins, dirs, u)
+    fb_s = steady_state(fwdbwd, params, scene, origins, dirs, u)
 
     # a "ray" = one traversal launch of one lane (primary or bounce),
     # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.  The

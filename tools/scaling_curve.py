@@ -55,7 +55,12 @@ def main():
     ncores = os.cpu_count() or 1
     lanes_per_dev = int(os.environ.get("SCALE_LANES", 4096))
     iters = int(os.environ.get("SCALE_ITERS", 3))
-    scene, cam = sphere_scene(depth=5)
+    # 2 bounces: weak-scaling efficiency is a ratio over identical per-device
+    # work, so the bounce count only scales the numerator; 2-bounce programs
+    # compile ~2.5x faster on the CPU backend (the 4 mesh shapes each need a
+    # full XLA:CPU compile — depth-5/5-bounce took >1 h on this 2-core host)
+    n_bounces = int(os.environ.get("SCALE_BOUNCES", 2))
+    scene, cam = sphere_scene(depth=int(os.environ.get("SCALE_DEPTH", 4)))
 
     results = []
     t1 = None
@@ -71,7 +76,9 @@ def main():
         b = (origins.shape[0] // k) * k
         origins, dirs = origins[:b], dirs[:b]
         o, d = origins[None], dirs[None]
-        u = draw_uniforms(jax.random.PRNGKey(0), b).reshape(1, b, MAX_BOUNCES, N_UNIFORMS)
+        u = draw_uniforms(jax.random.PRNGKey(0), b, n_bounces=n_bounces).reshape(
+            1, b, n_bounces, N_UNIFORMS
+        )
 
         jax.block_until_ready(sharded_render(mesh, scene, o, d, u))  # compile
         best = float("inf")
@@ -81,7 +88,7 @@ def main():
                 out = sharded_render(mesh, scene, o, d, u)
             jax.block_until_ready(out)
             best = min(best, (time.perf_counter() - t0) / iters)
-        rays_s = b * MAX_BOUNCES / best
+        rays_s = b * n_bounces / best
         if k == 1:
             t1 = best
         raw_eff = t1 / best
