@@ -4,9 +4,10 @@ TPU-native re-design of the reference's per-thread stack traversal
 (``/root/reference/src/octree/octree_traversal.rs:54-302``, WGSL twin at
 ``assets/shaders/svo.wgsl:226-485``).  Instead of one scalar loop per ray, a
 whole structure-of-arrays ray batch advances in lockstep under one
-``lax.while_loop``: every iteration performs two gathers from the HBM node
-pool (child mask + child word) and fully-masked PUSH / ADVANCE / POP lane
-updates on the VPU.  The float-bit scale tricks map to
+``lax.while_loop``: every iteration performs ONE 8-word row-gather from the
+HBM node pool and fully-masked PUSH / ADVANCE / POP lane updates on the VPU
+(run twice per fetched row — a same-parent ADVANCE immediately examines its
+new sibling).  The float-bit scale tricks map to
 ``lax.bitcast_convert_type`` and ``lax.clz``.
 
 TPU layout decisions (the difference between ~1e5 and ~1e7 rays/s):
@@ -236,21 +237,6 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
     for _ in range(k_examine):
         s, mask = _examine(row, c, s, scale_base, brick_bit, mask, two_level)
     return s._replace(step=s.step + 1)
-
-
-def _mux9(g, cols):
-    """cols[g] per lane for g in 0..8 (4-level select tree)."""
-    b0 = (g & 1) != 0
-    b1 = (g & 2) != 0
-    b2 = (g & 4) != 0
-    a0 = jnp.where(b0, cols[1], cols[0])
-    a1 = jnp.where(b0, cols[3], cols[2])
-    a2 = jnp.where(b0, cols[5], cols[4])
-    a3 = jnp.where(b0, cols[7], cols[6])
-    c0 = jnp.where(b1, a1, a0)
-    c1 = jnp.where(b1, a3, a2)
-    d0 = jnp.where(b2, c1, c0)
-    return jnp.where((g & 8) != 0, cols[8], d0)
 
 
 def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,

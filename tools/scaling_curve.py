@@ -62,9 +62,12 @@ def main():
     n_bounces = int(os.environ.get("SCALE_BOUNCES", 2))
     scene, cam = sphere_scene(depth=int(os.environ.get("SCALE_DEPTH", 4)))
 
+    ks = tuple(
+        int(x) for x in os.environ.get("SCALE_KS", "1,2,4,8").split(",")
+    )
     results = []
     t1 = None
-    for k in (1, 2, 4, 8):
+    for k in ks:
         devs = np.asarray(jax.devices()[:k]).reshape(k, 1)
         mesh = Mesh(devs, (DP_AXIS, SP_AXIS))
         b = lanes_per_dev * k  # weak scaling: fixed lanes/device
