@@ -124,7 +124,15 @@ def _surface_radiance(scene: Scene, mats, uv, face, u):
     convention) + ``albedo * diff_w * sky_diffuse(diff_dir)`` using the same
     ``diffuse_dir_and_weight`` sampler (``ray/mod.rs:211-373``) and miss-sky
     model (``path_tracer.rs:26-37``), plus the unoccluded sun-NEE term when
-    the strategy enables it.  Fully differentiable in atlas and emittance."""
+    the strategy enables it.  Fully differentiable in atlas and emittance.
+
+    Bias note (ADVICE r3): the sun-NEE term here is unoccluded and not gated
+    on the diffuse lobe, while the hard integrator gates on ``do_diff`` and
+    applies shadow attenuation — so this auxiliary loss is biased bright in
+    shadowed regions.  It only steers silhouettes (weight-limited via
+    ``soft_weight``); for interior/shadow-dominated scenes lower
+    ``soft_weight`` (e.g. 0.1) or disable ``strat.sun_sampling`` in the soft
+    term's strategy."""
     strat = scene.sun_sampling
     albedo = _albedo_at(scene, mats, uv)
     n = face_normals()[jnp.clip(face, 0, 5)]

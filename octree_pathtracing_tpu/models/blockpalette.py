@@ -167,7 +167,10 @@ class _PackMaterials:
 
     def material_of_texture(self, tex_name: str, tint: int = -1, props: dict | None = None):
         """-> material id (creating texture layer + material on first use)."""
-        key = (tex_name, tint >= 0, tuple(sorted((props or {}).items())))
+        # key on the actual tint index, not just its presence: two textures
+        # with different tint indices must not alias to one material/atlas
+        # layer (ADVICE r3 — load-bearing now that per-biome tints exist)
+        key = (tex_name, tint, tuple(sorted((props or {}).items())))
         if key in self._by_key:
             return self._by_key[key]
         img = self._load_texture(tex_name)

@@ -152,10 +152,6 @@ def make_scene(
             root=octree.root,
             depth=octree.depth,
         )
-        # (the (N, 72) supernode table for the two-level traversal is NOT
-        # precomputed: the variant measured 4x slower on chip — word
-        # extraction from wide gathered blocks is cross-lane-shuffle-bound;
-        # see traverse_tree's two_level note and tools/PERF_NOTES.md r3)
     if models is not None and "has_quad_models" not in kwargs:
         from .blockmodels import FLAG_SIMPLE
 

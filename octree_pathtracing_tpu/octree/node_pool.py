@@ -52,10 +52,6 @@ class Octree:
     child_data: Any  # (N, 8) uint32
     root: int
     depth: int
-    # optional precomputed (N, 72) supernode table (ops.traversal.pack_nodes2)
-    # — derived data for the two-level traversal; built once per scene so the
-    # per-tile jitted loops never rebuild it (None = build on demand / off)
-    packed2: Any = None
 
     def scale(self) -> float:
         return float(2.0 ** (-self.depth))
@@ -65,14 +61,14 @@ class Octree:
         return int(self.child_mask.shape[0])
 
     def tree_flatten(self):
-        return (self.child_mask, self.child_data, self.packed2), (
+        return (self.child_mask, self.child_data), (
             self.root,
             self.depth,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1], children[2])
+        return cls(children[0], children[1], aux[0], aux[1])
 
 
 try:  # register as a JAX pytree when jax is importable (host-only use works without)

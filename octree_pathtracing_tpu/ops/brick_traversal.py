@@ -73,20 +73,14 @@ def traverse_tree(
     accept_fn: Optional[Callable] = None,
     accept_state=None,
     active_mask=None,
-    two_level: Optional[bool] = None,
 ):
     """Dispatch a ray batch to the kernel matching the pool layout:
     ``BrickOctree`` -> ``traverse_brick``; plain ``Octree`` -> ``traverse``.
     Same contract either way (accept protocol, HitResult, world units,
     ``active_mask`` dead-lane skip).
 
-    ``two_level``: supernode rows (one gather per depth-2 subtree; see
-    ``traversal.pack_nodes2``).  Bit-exact with ~half the lockstep
-    iterations, but measured 4x SLOWER end-to-end on TPU v5e: extracting the
-    per-lane word from a 72-wide gathered block costs ~190 us/iteration in
-    cross-lane shuffles, and no layout avoids it (row/col/transposed all
-    equal — tools/PERF_NOTES.md round 3).  OFF by default; kept as the
-    recorded experiment.
+    (A two-level supernode path existed here through r3; measured 4x slower
+    on TPU v5e and removed in r4 — evidence in tools/PERF_NOTES.md.)
     """
     from ..octree.brick import BrickOctree
     from .traversal import traverse
@@ -101,9 +95,6 @@ def traverse_tree(
             accept_state=accept_state,
             active_mask=active_mask,
         )
-    packed2 = getattr(tree, "packed2", None)
-    if two_level is None:
-        two_level = False
     return traverse(
         tree.child_mask,
         tree.child_data,
@@ -116,8 +107,6 @@ def traverse_tree(
         depth=tree.depth,
         accept_state=accept_state,
         active_mask=active_mask,
-        two_level=two_level,
-        packed2=packed2,
     )
 
 

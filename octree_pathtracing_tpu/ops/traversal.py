@@ -92,11 +92,6 @@ class Carry(NamedTuple):
     reject: jnp.ndarray  # (B,) bool
     step: jnp.ndarray  # () int32
     user: tuple  # accept_state pytree (possibly empty)
-    # two-level (supernode) row-cache bookkeeping; unused in 1-level mode
-    anchor: jnp.ndarray = ()  # (B,) int32 node whose 72-word row is loaded
-    anchor_scale: jnp.ndarray = ()  # (B,) int32 child-cell scale of anchor
-    anchor_ci: jnp.ndarray = ()  # (B,) int32 child slot of anchor when rel=1
-    refetch: jnp.ndarray = ()  # (B,) bool — anchor must be reloaded
 
 
 class HitResult(NamedTuple):
@@ -191,7 +186,7 @@ def _mux8(slot, cols):
 
 
 def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
-          two_level=False, k_examine=2):
+          k_examine=2):
     """One lockstep iteration of the ESVO loop over the whole batch.
 
     ``nodes_packed``: (N, 8) int32 — one word per child slot: low 30 bits =
@@ -205,13 +200,10 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
     the VPU select-tree body is ~free next to the gather (PERF_NOTES:
     same-parent ADVANCE alone is ~23% of steps).
 
-    ``two_level``: ``nodes_packed`` is the (N, 72) supernode table
-    (``pack_nodes2``): words 0-7 = the anchor node's children, words
-    8+8i..15+8i = child i's children.  The row then covers a depth-2 subtree
-    (an 8x8x8 cell region at the bottom), so descents take one gather per
-    TWO levels and sibling walks across child boundaries stay in-register;
-    lanes leave the row only by popping above the anchor or pushing below a
-    grandchild.
+    (A two-level 72-word supernode variant was built, proven bit-exact, and
+    measured 2-4x SLOWER on TPU v5e — wide-row word extraction is cross-lane
+    bound; evidence in tools/PERF_NOTES.md r3.  The machinery was removed
+    from this kernel in r4.)
 
     ``scale_base`` = MAX_SCALE - depth: stack rows are indexed by
     ``scale - scale_base`` (the only scales a depth-deep tree can visit).
@@ -222,31 +214,19 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
     not require ``t_min > 0``: a ray starting inside a brick must still DDA
     its tail cells (the per-cell t>0 check applies instead).
     """
-    if two_level:
-        anchor = jnp.where(s.refetch, s.parent, s.anchor)
-        anchor_scale = jnp.where(s.refetch, s.scale, s.anchor_scale)
-        s = s._replace(
-            anchor=anchor,
-            anchor_scale=anchor_scale,
-            refetch=jnp.zeros_like(s.refetch),
-        )
-        row = nodes_packed[s.anchor]  # (B, 72) — still ONE gather
-    else:
-        row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
+    row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
     mask = None
     for _ in range(k_examine):
-        s, mask = _examine(row, c, s, scale_base, brick_bit, mask, two_level)
+        s, mask = _examine(row, c, s, scale_base, brick_bit, mask)
     return s._replace(step=s.step + 1)
 
 
-def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
-             two_level=False):
+def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask):
     """One masked PUSH/ADVANCE/POP/hit decision against a fetched node row.
 
     ``act_mask``: lanes allowed to act (None = all).  Returns
     ``(new_carry, cont)`` where ``cont`` marks lanes whose next examination
-    can reuse the same row (1-level: a same-parent ADVANCE; 2-level: any
-    action that stays inside the anchor's depth-2 subtree).
+    can reuse the same row (a same-parent ADVANCE).
     """
     active = s.status == ACTIVE
     if act_mask is not None:
@@ -259,16 +239,7 @@ def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
     tc_max = jnp.min(t_corner, axis=0)
 
     slot = s.index ^ c.mirror
-    if two_level:
-        rel1 = s.parent != s.anchor
-        # onehot-reduce select: column extraction from a 72-wide gathered
-        # block is cross-lane-shuffle-bound on TPU; a masked row-reduce stays
-        # in-lane
-        flat = jnp.where(rel1, 8 + 8 * s.anchor_ci, 0) + slot
-        onehot = jnp.arange(row.shape[1], dtype=jnp.int32)[None, :] == flat[:, None]
-        word = jnp.sum(jnp.where(onehot, row, 0), axis=1)
-    else:
-        word = _mux8(slot, [row[:, i] for i in range(8)])
+    word = _mux8(slot, [row[:, i] for i in range(8)])
     value = word & VALUE_MASK
     present = ((word >> PRESENT_BIT) & 1) != 0
     leafb = (word >> LEAF_BIT_PACKED) != 0  # arithmetic shift of the sign bit
@@ -375,36 +346,6 @@ def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
         status = jnp.where(brick_hit, BRICK, status)
     status = jnp.where(dist_miss | pop_miss, MISS, status)
 
-    if two_level:
-        # in-row transitions: push anchor->child (rel0), advance, pop
-        # child->anchor; out-of-row: push below a grandchild, pop above the
-        # anchor — those lanes set refetch and stop acting this iteration
-        anchor_ci = jnp.where(do_push & ~rel1, slot, s.anchor_ci)
-        out_push = do_push & rel1
-        out_pop = do_pop & (p_scale_c > s.anchor_scale)
-        refetch = s.refetch | (active & (out_push | out_pop))
-        cont = (status == ACTIVE) & ~refetch
-        return Carry(
-            pos=pos,
-            index=index,
-            parent=parent,
-            scale=scale,
-            scale_exp2=scale_exp2,
-            t_min=t_min,
-            t_max=t_max,
-            h=h,
-            stack_idx=stack_idx,
-            stack_t=stack_t,
-            status=status,
-            reject=jnp.where(active, False, s.reject),
-            step=s.step,
-            user=s.user,
-            anchor=s.anchor,
-            anchor_scale=s.anchor_scale,
-            anchor_ci=anchor_ci,
-            refetch=refetch,
-        ), cont
-
     same_parent = do_adv & ~do_pop & (status == ACTIVE)
     return Carry(
         pos=pos,
@@ -476,27 +417,6 @@ def pack_nodes(child_mask, child_data):
     return value | (present << PRESENT_BIT) | (leaf << LEAF_BIT_PACKED)
 
 
-def pack_nodes2(packed):
-    """(N, 8) packed table -> (N, 72) supernode table.
-
-    Row n = [n's 8 child words | child 0's 8 child words | ... | child 7's].
-    Grandchild groups of non-internal children are zeroed (present=0).  A row
-    covers a depth-2 subtree, so the lockstep loop descends two levels per
-    gather and walks the bottom 8x8x8 cell region in-register (PERF_NOTES:
-    the node-row gather IS the loop's cost; rows up to 256 B gather at the
-    same per-row rate).
-    """
-    n = packed.shape[0]
-    value = packed & VALUE_MASK
-    present = ((packed >> PRESENT_BIT) & 1) != 0
-    leafb = (packed >> LEAF_BIT_PACKED) != 0
-    internal = present & ~leafb
-    child_ids = jnp.where(internal, value, 0)
-    grand = packed[child_ids.reshape(-1)].reshape(n, 8, 8)
-    grand = jnp.where(internal[:, :, None], grand, 0)
-    return jnp.concatenate([packed, grand.reshape(n, 64)], axis=1)
-
-
 def traverse(
     child_mask: jnp.ndarray,
     child_data: jnp.ndarray,
@@ -509,17 +429,12 @@ def traverse(
     depth: Optional[int] = None,
     accept_state=None,
     active_mask=None,
-    two_level: bool = False,
     k_examine: Optional[int] = None,
-    packed2=None,
 ):
     """Trace a ray batch to its first (accepted) leaf hits.
 
-    ``two_level``: gather (N, 72) supernode rows (``pack_nodes2``) so each
-    iteration's one gather covers a depth-2 subtree; ``k_examine`` actions
-    run per gather (defaults: 2 single-level, 4 two-level).  Pass a
-    prebuilt ``packed2`` (e.g. ``Octree.packed2``) — building it inline
-    inside a tiled/jitted caller re-materializes a table per tile.
+    ``k_examine``: decision blocks run per fetched node row (default 2 —
+    the fused same-parent-ADVANCE win of PERF_NOTES r3).
 
     ``active_mask``: optional (B,) bool — lanes that are False start as
     MISS and contribute no loop iterations (wavefront compaction: a tile of
@@ -549,11 +464,8 @@ def traverse(
         root, octree_scale, origins, directions, max_dst, stack_rows
     )
     nodes_packed = pack_nodes(child_mask, child_data)
-    if two_level:
-        loop_table = packed2 if packed2 is not None else pack_nodes2(nodes_packed)
-    else:
-        loop_table = nodes_packed
-    k = k_examine if k_examine is not None else (4 if two_level else 2)
+    loop_table = nodes_packed
+    k = k_examine if k_examine is not None else 2
     inv_scale = 1.0 / octree_scale
     stateful = accept_state is not None
     if stateful:
@@ -562,14 +474,6 @@ def traverse(
         carry0 = carry0._replace(
             status=jnp.where(active_mask, carry0.status, MISS)
         )
-    if two_level:
-        zi = carry0.parent * 0
-        carry0 = carry0._replace(
-            anchor=carry0.parent,
-            anchor_scale=carry0.scale,
-            anchor_ci=zi,
-            refetch=zi == 0,  # force the first iteration to anchor at root
-        )
 
     def cond(s):
         return jnp.any(s.status == ACTIVE) & (s.step < MAX_STEPS)
@@ -577,15 +481,13 @@ def traverse(
     if accept_fn is None:
 
         def body(s):
-            return _step(loop_table, consts, s, scale_base,
-                         two_level=two_level, k_examine=k)
+            return _step(loop_table, consts, s, scale_base, k_examine=k)
 
     else:
 
         def body(s):
             prev_status = s.status
-            s = _step(loop_table, consts, s, scale_base,
-                      two_level=two_level, k_examine=k)
+            s = _step(loop_table, consts, s, scale_base, k_examine=k)
             fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
 
             def run_accept(s, fresh=fresh):

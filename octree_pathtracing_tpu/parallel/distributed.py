@@ -57,7 +57,11 @@ def init_distributed(
 
         already_up = global_state.client is not None
     except (ImportError, AttributeError):
-        already_up = jax.process_count() > 1
+        # Do NOT probe via jax.process_count(): it initializes the XLA
+        # backend — the exact pre-initialize hazard this module exists to
+        # avoid (ADVICE r3).  Assume not-up and rely on initialize()'s
+        # "already initialized" RuntimeError catch below.
+        already_up = False
     if coordinator_address and (num_processes or 0) > 1 and not already_up:
         # must run before anything touches the XLA backend — launchers that
         # import this package first should use tools/dist_worker.py, which

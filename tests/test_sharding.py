@@ -58,21 +58,22 @@ def test_sharded_nee_render_and_grads():
     under shard_map — the round-2 multichip regression (VMA-uniform
     accept-state carry, `shadow_state_init`) reproduced here so it can never
     land silently again.  Shapes mirror `__graft_entry__.dryrun_multichip`
-    exactly so the two share one persistent-cache executable."""
+    exactly (incl. the 2-bounce uniform block) so the two share one
+    persistent-cache executable."""
     from octree_pathtracing_tpu.models import plant_scene
-    from octree_pathtracing_tpu.render.pathtracer import MAX_BOUNCES
     from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
 
     mesh = make_mesh()  # (4, 2)
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     scene, cam = plant_scene(depth=3)
     w, h, s = 4 * dp, 4, 2 * sp  # == dryrun_multichip shapes
+    n_bounces = 2  # == dryrun_multichip (bounce count is a data axis)
     origins, dirs = pixel_grid_rays(cam, w, h)
     b = origins.shape[0]
     o = jnp.broadcast_to(origins[None], (s, b, 3))
     d = jnp.broadcast_to(dirs[None], (s, b, 3))
-    u = draw_uniforms(jax.random.PRNGKey(0), s * b).reshape(
-        s, b, MAX_BOUNCES, N_UNIFORMS
+    u = draw_uniforms(jax.random.PRNGKey(0), s * b, n_bounces=n_bounces).reshape(
+        s, b, n_bounces, N_UNIFORMS
     )
     params = {"atlas": scene.atlas, "emittance": scene.materials.emittance}
     target = jnp.zeros((s, b, 3), jnp.float32)

@@ -114,29 +114,5 @@ def test_world_space_outputs():
     assert 0.0 <= float(res.uv[0, 1]) <= 1.0
 
 
-def test_two_level_matches_single_level():
-    """The supernode (two-level) loop must be bit-exact vs the single-level
-    kernel: same hits, t, faces, uvs, leaves — on grid rays and random
-    inside-the-volume rays (round-3 perf path; iterations roughly halve)."""
-    import jax
-
-    from octree_pathtracing_tpu.models import cornell_scene, sphere_scene
-    from octree_pathtracing_tpu.models.camera import pixel_grid_rays
-
-    for scene, cam in (cornell_scene(depth=5), sphere_scene(depth=4)):
-        t = scene.octree
-        origins, dirs = pixel_grid_rays(cam, 16, 12)
-        key = jax.random.PRNGKey(1)
-        s = 1 << t.depth
-        o2 = jax.random.uniform(key, (128, 3)) * s
-        d2 = jax.random.normal(jax.random.fold_in(key, 1), (128, 3))
-        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
-        o = jnp.concatenate([origins, o2])
-        d = jnp.concatenate([dirs, d2])
-        args = (t.child_mask, t.child_data, t.root, t.scale(), o, d)
-        r1 = traverse(*args, depth=t.depth, two_level=False)
-        r2 = traverse(*args, depth=t.depth, two_level=True)
-        for f in ("hit", "t", "face_id", "uv", "leaf_value", "voxel_pos", "voxel_size"):
-            a, b = np.asarray(getattr(r1, f)), np.asarray(getattr(r2, f))
-            assert np.array_equal(a, b, equal_nan=True), f
-        assert int(r2.steps) < int(r1.steps)  # fewer gather iterations
+# (test_two_level_matches_single_level retired in r4 with the two-level
+# machinery itself — the experiment's evidence lives in tools/PERF_NOTES.md.)
