@@ -95,6 +95,27 @@ def main():
     fwd_s = steady_state(fwd, scene, origins, dirs, u)
     fb_s = steady_state(fwdbwd, params, scene, origins, dirs, u)
 
+    # NEE diag line (VERDICT r3 #4): same terrain, HIGH_QUALITY sun strategy
+    # — the stateful shadow walk (a second traversal per diffuse bounce,
+    # path_tracer.rs:225-291, the reference's default-quality mode) gets its
+    # own tracked numbers so regressions/wins there are visible round over
+    # round.  Not the headline (protocol continuity with the r2/r3 floors).
+    import dataclasses as _dc
+
+    from octree_pathtracing_tpu.models.sun import SunSampling
+
+    scene_nee = _dc.replace(scene, sun_sampling=SunSampling.high_quality())
+    fwd_nee = jax.jit(
+        lambda s, o, d, uu: trace_paths(s, o, d, uu, skip_dead=True)
+    )
+    fwdbwd_nee = jax.jit(jax.grad(loss_fn))
+    jax.block_until_ready(fwd_nee(scene_nee, origins, dirs, u))
+    jax.block_until_ready(fwdbwd_nee(params, scene_nee, origins, dirs, u))
+    nee_fwd_s = steady_state(fwd_nee, scene_nee, origins, dirs, u)
+    nee_fb_s = steady_state(fwdbwd_nee, params, scene_nee, origins, dirs, u)
+    _, live_nee = jax.jit(trace_paths_census)(scene_nee, origins, dirs, u)
+    live_nee = int(np.asarray(jax.block_until_ready(live_nee)).sum())
+
     # a "ray" = one traversal launch of one lane (primary or bounce),
     # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.  The
     # NOMINAL convention counts lanes*bounces; the LIVE census counts only
@@ -108,13 +129,12 @@ def main():
     fwd_rays_s = rays / fwd_s
     fb_rays_s = rays / fb_s
 
-    # Self-baseline (BASELINE.md "Throughput baseline derivation"): the
-    # round-2 driver artifact BENCH_r02.json, measured fwd+bwd on one idle
-    # TPU v5e chip with this file's protocol (min-of-trials steady state,
-    # depth 9, 256x256, 5 bounces, nominal-ray convention).  The round-1
-    # constant 1.23e7 was never reproducible at the recorded protocol and is
-    # retired (VERDICT r2 weak #2).
-    baseline = float(os.environ.get("BENCH_BASELINE", 4.75e6)) if on_tpu else fb_rays_s
+    # Self-baseline (BASELINE.md "Throughput baseline derivation"): each
+    # round's driver artifact is the next round's floor — r4 ratchets to the
+    # BENCH_r03.json value 5.06e6 (round-2: 4.75e6; the round-1 constant
+    # 1.23e7 was never reproducible at the recorded protocol and is retired,
+    # VERDICT r2 weak #2).
+    baseline = float(os.environ.get("BENCH_BASELINE", 5.06e6)) if on_tpu else fb_rays_s
 
     diag = dict(
         backend=backend,
@@ -136,6 +156,15 @@ def main():
         live_rays_per_s_fwdbwd=round(live_rays / fb_s),
     )
     print("# " + json.dumps(diag), file=sys.stderr)
+    nee_diag = dict(
+        scene="terrain+NEE(high_quality)",
+        nee_fwd_ms=round(nee_fwd_s * 1e3, 1),
+        nee_fwdbwd_ms=round(nee_fb_s * 1e3, 1),
+        nee_rays_per_s_fwdbwd=round(rays / nee_fb_s),
+        rays_live=live_nee,
+        live_rays_per_s_fwdbwd=round(live_nee / nee_fb_s),
+    )
+    print("# " + json.dumps(nee_diag), file=sys.stderr)
     print(
         json.dumps(
             {

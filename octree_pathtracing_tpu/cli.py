@@ -24,6 +24,7 @@ def _build_scene(args):
     from .models import (
         analytic_sphere_scene,
         cornell_scene,
+        emissive_room_scene,
         minecraft_chunk_scene,
         plant_scene,
         sphere_scene,
@@ -39,6 +40,7 @@ def _build_scene(args):
         "sphere": sphere_scene,
         "analytic": analytic_sphere_scene,
         "cornell": cornell_scene,
+        "room": emissive_room_scene,
         "chunk": minecraft_chunk_scene,
         "plant": plant_scene,
     }
@@ -55,6 +57,25 @@ def cmd_render(args):
 
     scene, camera = _build_scene(args)
     scene = dataclasses.replace(scene, sun_sampling=sun_sampling_from_name(args.sun))
+    es = getattr(args, "emitter_sampling", "scene")
+    if es == "one":
+        from .models.emitters import build_emitter_table
+        from .models.scene import EmitterSampling
+
+        em = scene.emitters
+        if em is None:
+            em = build_emitter_table(
+                scene.octree, scene.leaf_material, scene.materials, scene.models
+            )
+        scene = dataclasses.replace(
+            scene, emitter_sampling=EmitterSampling.ONE, emitters=em
+        )
+    elif es == "none":
+        from .models.scene import EmitterSampling
+
+        scene = dataclasses.replace(
+            scene, emitter_sampling=EmitterSampling.NONE
+        )
     r = Renderer(
         scene=scene,
         camera=camera,
@@ -152,7 +173,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "chunk", "plant"])
+        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "room", "chunk", "plant"])
         sp.add_argument("--world", default="", help="Minecraft region file / world dir")
         sp.add_argument("--pack", default="", help="resource pack dir (block models + textures) for --world")
         sp.add_argument("--depth", type=int, default=0, help="octree depth (2..12)")
@@ -167,6 +188,14 @@ def main(argv=None):
     r.add_argument("--branch-count", type=int, default=10)
     r.add_argument("--bounces", type=int, default=5, help="path depth cap (path_tracer.rs:56; config 5 uses 8)")
     r.add_argument("--sun", default="importance")
+    r.add_argument(
+        "--emitter-sampling",
+        default="scene",
+        choices=["scene", "none", "one"],
+        help="block-light NEE strategy (scene/mod.rs:39-57): 'one' samples one "
+        "emissive leaf per diffuse bounce (models/emitters.py), 'none' "
+        "disables it, 'scene' keeps the scene's own default",
+    )
     r.add_argument("--checkpoint", default="")
     r.add_argument("--resume", default="")
     r.set_defaults(fn=cmd_render)

@@ -13,6 +13,7 @@ from .sun import Sun, SunSampling, make_sun, sky_color
 from .procedural import (
     analytic_sphere_scene,
     cornell_scene,
+    emissive_room_scene,
     minecraft_chunk_scene,
     plant_scene,
     sphere_scene,
@@ -45,6 +46,7 @@ __all__ = [
     "Primitives",
     "make_primitives",
     "cornell_scene",
+    "emissive_room_scene",
     "minecraft_chunk_scene",
     "plant_scene",
 ]

@@ -165,12 +165,17 @@ class _PackMaterials:
             img = img[: img.shape[1]]
         return img
 
-    def material_of_texture(self, tex_name: str, tint: int = -1, props: dict | None = None):
-        """-> material id (creating texture layer + material on first use)."""
-        # key on the actual tint index, not just its presence: two textures
-        # with different tint indices must not alias to one material/atlas
-        # layer (ADVICE r3 — load-bearing now that per-biome tints exist)
-        key = (tex_name, tint, tuple(sorted((props or {}).items())))
+    def material_of_texture(self, tex_name: str, tint: int = -1,
+                            props: dict | None = None, tint_rgb=None):
+        """-> material id (creating texture layer + material on first use).
+
+        ``tint_rgb``: resolved biome tint color for tinted faces
+        (``models/biomes.py``); None falls back to the plains constant."""
+        # key on the actual tint index AND resolved color: two textures with
+        # different tint indices or biome colors must not alias to one
+        # material/atlas layer (ADVICE r3 — load-bearing for per-biome tints)
+        key = (tex_name, tint, tuple(tint_rgb) if tint_rgb else None,
+               tuple(sorted((props or {}).items())))
         if key in self._by_key:
             return self._by_key[key]
         img = self._load_texture(tex_name)
@@ -180,7 +185,7 @@ class _PackMaterials:
             img[..., :3] = rgb
             img[..., 3] = 255
         if tint >= 0:
-            t = np.asarray(_DEFAULT_TINT, np.float32) / 255.0
+            t = np.asarray(tint_rgb or _DEFAULT_TINT, np.float32) / 255.0
             img = img.copy()
             img[..., :3] = np.clip(img[..., :3] * t[None, None], 0, 255).astype(np.uint8)
         self.textures.append(img)
@@ -241,11 +246,13 @@ def compile_world_assets(blockstate_map: dict[str, int], pack_dir: str):
     back to the phase-1 color palette as simple cubes.
     """
     from ..ops.texture import build_atlas
+    from .biomes import TintResolver
     from .blockmodels import MAX_MODEL_QUADS, ModelBuilder
     from .resourcepack import ResourcePack, compile_blockstate
 
     pack = ResourcePack(pack_dir)
     pm = _PackMaterials(pack)
+    tints = TintResolver(pack)
     builder = ModelBuilder()
     n_states = max(blockstate_map.values()) + 1 if blockstate_map else 1
     # model 0: dummy simple cube on the default magenta material (leaf 0 = air
@@ -258,10 +265,18 @@ def compile_world_assets(blockstate_map: dict[str, int], pack_dir: str):
     for name, state_id in sorted(blockstate_map.items(), key=lambda kv: kv[1]):
         if state_id == 0:
             continue
-        base = name.split("#", 1)[0]
+        # per-biome variant ids are keyed "state@biome" (mca.remap_sections);
+        # the biome picks the colormap tint, the state picks the model
+        state_name, _, biome = name.partition("@")
+        base = state_name.split("#", 1)[0]
         _, props = VANILLA_COLORS.get(base, (None, {}))
+        tint_rgb = tints.tint_rgb(base, biome or None)
         quads = compile_blockstate(
-            pack, name, lambda tex, tint=-1: pm.material_of_texture(tex, tint, props)
+            pack,
+            state_name,
+            lambda tex, tint=-1: pm.material_of_texture(
+                tex, tint, props, tint_rgb=tint_rgb if tint >= 0 else None
+            ),
         )
         if quads is None:
             mat = pm.palette_material(base)
@@ -300,7 +315,12 @@ def minecraft_scene_from_region(path: str, depth: int = 9, pack_dir: str | None 
     from .mca import load_world
     from .scene import make_scene
 
-    tree, blockstate_map = load_world(path, depth=depth)
+    # with a pack, tinted blockstates split into per-biome variants so the
+    # compiler can bake real colormap tints (models/biomes.py; the reference
+    # carries tint_index but never applies a colormap)
+    tree, blockstate_map = load_world(
+        path, depth=depth, biome_variants=bool(pack_dir)
+    )
     if tree is None:
         raise ValueError(f"region at {path} contains no blocks")
     if pack_dir:

@@ -47,6 +47,9 @@ class Section:
     y_pos: int  # window-shifted section y in [0, 24)
     palette: list  # blockstate names (with property suffix)
     indices: np.ndarray  # (4096,) uint16 palette indices, YZX order
+    # 1.18+ per-section biomes: 4x4x4 cells, YZX order (None = unknown)
+    biome_palette: list | None = None
+    biome_indices: np.ndarray | None = None  # (64,) uint16
 
 
 def blockstate_key(entry) -> str:
@@ -69,6 +72,23 @@ def unpack_block_indices(data: np.ndarray, palette_size: int) -> np.ndarray:
     bits = max(4, int(np.ceil(np.log2(max(palette_size, 2)))))
     per_long = 64 // bits
     idx = np.arange(4096)
+    word = idx // per_long
+    shift = (idx % per_long) * bits
+    longs = np.asarray(data, np.uint64)
+    vals = (longs[word] >> shift.astype(np.uint64)) & np.uint64((1 << bits) - 1)
+    return vals.astype(np.uint16)
+
+
+def unpack_biome_indices(data, palette_size: int) -> np.ndarray:
+    """Vectorized biome-cell decode -> (64,) palette indices.
+
+    Biome packing differs from block packing only in the floor: bits =
+    ``ceil(log2(size))`` with NO minimum-4 (a 2-biome section packs 1 bit)."""
+    if palette_size <= 1 or data is None or len(data) == 0:
+        return np.zeros(64, np.uint16)
+    bits = max(1, int(np.ceil(np.log2(max(palette_size, 2)))))
+    per_long = 64 // bits
+    idx = np.arange(64)
     word = idx // per_long
     shift = (idx % per_long) * bits
     longs = np.asarray(data, np.uint64)
@@ -135,6 +155,11 @@ def _chunk_sections(chunk_index: int, root: dict) -> list[Section]:
             continue
         names = [blockstate_key(p) for p in palette]
         indices = unpack_block_indices(data, len(names))
+        bio = sec.get("biomes")
+        b_pal = b_idx = None
+        if bio and bio.get("palette"):
+            b_pal = [str(x) for x in bio["palette"]]
+            b_idx = unpack_biome_indices(bio.get("data"), len(b_pal))
         out.append(
             Section(
                 chunk_x=chunk_x,
@@ -142,34 +167,77 @@ def _chunk_sections(chunk_index: int, root: dict) -> list[Section]:
                 y_pos=y_index - LOWEST_SECTION_INDEX,
                 palette=names,
                 indices=indices,
+                biome_palette=b_pal,
+                biome_indices=b_idx,
             )
         )
     return out
 
 
 def remap_sections(
-    sections: list[Section], blockstate_map: dict[str, int] | None = None
+    sections: list[Section],
+    blockstate_map: dict[str, int] | None = None,
+    biome_variants: bool = False,
 ) -> tuple[list[tuple[Section, np.ndarray]], dict[str, int]]:
     """Map each section's palette to global blockstate ids
-    (``new_octree.rs:380-401``); air stays 0."""
+    (``new_octree.rs:380-401``); air stays 0.
+
+    ``biome_variants``: split biome-TINTED blockstates (``models/biomes.py``
+    TINTED_BLOCKS) into per-biome variant ids keyed ``name@biome`` so the
+    compiler can bake a per-biome tint color — per-voxel attributes become
+    distinct leaf values under static shapes.  Mapped arrays are then
+    (P, n_biomes) instead of (P,); untinted states repeat one id per column.
+    """
     if blockstate_map is None:
         blockstate_map = {}
     blockstate_map.setdefault("minecraft:air", 0)
     blockstate_map.setdefault("minecraft:cave_air", 0)
     blockstate_map.setdefault("minecraft:void_air", 0)
+
+    def gid(key: str) -> int:
+        if key not in blockstate_map:
+            blockstate_map[key] = len(blockstate_map)
+        return blockstate_map[key]
+
+    if biome_variants:
+        from .biomes import TINTED_BLOCKS
+
     remapped = []
     for sec in sections:
-        mapped = np.empty(len(sec.palette), np.uint32)
+        biomes = sec.biome_palette if biome_variants else None
+        nb = len(biomes) if biomes else 1
+        mapped = np.empty((len(sec.palette), nb), np.uint32)
         for j, name in enumerate(sec.palette):
             base = name.split("#", 1)[0]
             if base in ("minecraft:air", "minecraft:cave_air", "minecraft:void_air"):
                 mapped[j] = 0
                 continue
-            if name not in blockstate_map:
-                blockstate_map[name] = len(blockstate_map)
-            mapped[j] = blockstate_map[name]
-        remapped.append((sec, mapped))
+            if biomes and base in TINTED_BLOCKS:
+                for k, b in enumerate(biomes):
+                    mapped[j, k] = gid(f"{name}@{b}")
+            else:
+                mapped[j] = gid(name)
+        remapped.append((sec, mapped if biome_variants else mapped[:, 0]))
     return remapped, blockstate_map
+
+
+_LI = np.arange(4096)
+_LX = (_LI & 0xF).astype(np.int64)
+_LZ = ((_LI >> 4) & 0xF).astype(np.int64)
+_LY = (_LI >> 8).astype(np.int64)
+# voxel -> 4x4x4 biome cell, YZX cell order
+_BIOME_CELL = ((_LY >> 2) * 16 + (_LZ >> 2) * 4 + (_LX >> 2)).astype(np.int64)
+
+
+def _section_values(sec: Section, mapped: np.ndarray) -> np.ndarray:
+    """(4096,) global ids for a section; handles (P,) and biome-variant
+    (P, n_biomes) mapped tables."""
+    if mapped.ndim == 1:
+        return mapped[sec.indices]
+    if mapped.shape[1] == 1 or sec.biome_indices is None:
+        return mapped[sec.indices, 0]
+    bio = np.clip(sec.biome_indices[_BIOME_CELL], 0, mapped.shape[1] - 1)
+    return mapped[sec.indices, bio]
 
 
 def build_region_octree(
@@ -177,13 +245,20 @@ def build_region_octree(
     blockstate_map: dict[str, int] | None = None,
     depth: int = REGION_OCTREE_DEPTH,
     use_native: bool = True,
+    biome_variants: bool = False,
 ) -> tuple[Octree | None, dict[str, int]]:
     """Full .mca -> octree pipeline; returns (octree, blockstate_map).
 
     Coordinates: x = chunk_x*16+lx, y = y_pos*16+ly, z = chunk_z*16+lz —
     region-local voxels in [0, 512) x [0, 384) x [0, 512).
+
+    ``biome_variants``: emit per-biome leaf ids for tinted blockstates (see
+    ``remap_sections``).  Biome data currently comes from the python NBT
+    path only, so this forces ``use_native=False``.
     """
     sections = None
+    if biome_variants:
+        use_native = False  # the C++ parser doesn't emit biome palettes yet
     if use_native:
         try:
             from .native import parse_region_native
@@ -193,17 +268,16 @@ def build_region_octree(
             sections = None
     if sections is None:
         sections = parse_region_bytes(buf)
-    remapped, blockstate_map = remap_sections(sections, blockstate_map)
+    remapped, blockstate_map = remap_sections(
+        sections, blockstate_map, biome_variants=biome_variants
+    )
 
     coords_list = []
     vals_list = []
     # section-local YZX order (vanilla): i = (y*16 + z)*16 + x
-    li = np.arange(4096)
-    lx = (li & 0xF).astype(np.int64)
-    lz = ((li >> 4) & 0xF).astype(np.int64)
-    ly = (li >> 8).astype(np.int64)
+    lx, ly, lz = _LX, _LY, _LZ
     for sec, mapped in remapped:
-        vals = mapped[sec.indices]
+        vals = _section_values(sec, mapped)
         nz = np.nonzero(vals)[0]
         if nz.size == 0:
             continue
@@ -234,6 +308,7 @@ def load_world(
     depth: int = REGION_OCTREE_DEPTH,
     blockstate_map: dict[str, int] | None = None,
     use_native: bool = True,
+    biome_variants: bool = False,
 ):
     """Load a world directory or single region file into one octree.
 
@@ -256,16 +331,18 @@ def load_world(
 
     if len(paths) == 1:
         with open(paths[0], "rb") as f:
-            return build_region_octree(f.read(), blockstate_map, depth, use_native)
+            return build_region_octree(
+                f.read(), blockstate_map, depth, use_native,
+                biome_variants=biome_variants,
+            )
 
     # multi-region stitch: gather voxels in world coords, re-base, one build
     if blockstate_map is None:
         blockstate_map = {}
+    if biome_variants:
+        use_native = False  # biome palettes come from the python path only
     all_coords, all_vals = [], []
-    li = np.arange(4096)
-    lx = (li & 0xF).astype(np.int64)
-    lz = ((li >> 4) & 0xF).astype(np.int64)
-    ly = (li >> 8).astype(np.int64)
+    lx, ly, lz = _LX, _LY, _LZ
     coords_rxz = [_region_coords_from_name(p) for p in paths]
     min_rx = min(c[0] for c in coords_rxz)
     min_rz = min(c[1] for c in coords_rxz)
@@ -282,11 +359,13 @@ def load_world(
                 sections = None
         if sections is None:
             sections = parse_region_bytes(buf)
-        remapped, blockstate_map = remap_sections(sections, blockstate_map)
+        remapped, blockstate_map = remap_sections(
+            sections, blockstate_map, biome_variants=biome_variants
+        )
         ox = (rx - min_rx) * 512
         oz = (rz - min_rz) * 512
         for sec, mapped in remapped:
-            vals = mapped[sec.indices]
+            vals = _section_values(sec, mapped)
             nz = np.nonzero(vals)[0]
             if nz.size == 0:
                 continue
@@ -311,14 +390,18 @@ def make_region_fixture(chunks: dict[tuple[int, int], dict]) -> bytes:
     """Build a minimal .mca byte blob.
 
     ``chunks``: {(chunk_x, chunk_z): {section_y: (palette names, (4096,)
-    indices)}}.
+    indices)}}.  A section value may carry a third element describing its
+    biomes: a single biome name (whole section) or ``(biome names, (64,)
+    cell indices)``.
     """
     header = bytearray(8192)
     body = bytearray()
     next_sector = 2
     for (cx, cz), secs in chunks.items():
         sections = []
-        for y, (palette, indices) in sorted(secs.items()):
+        for y, spec in sorted(secs.items()):
+            palette, indices = spec[0], spec[1]
+            biome_spec = spec[2] if len(spec) > 2 else None
             bits = max(4, int(np.ceil(np.log2(max(len(palette), 2)))))
             per_long = 64 // bits
             n_longs = (4096 + per_long - 1) // per_long
@@ -329,27 +412,45 @@ def make_region_fixture(chunks: dict[tuple[int, int], dict]) -> bytes:
                 idx // per_long,
                 np.asarray(indices, np.uint64) << ((idx % per_long) * bits).astype(np.uint64),
             )
-            sections.append(
-                {
-                    "Y": int(y),
-                    "block_states": {
-                        "palette": [
-                            {"Name": n.split("#")[0]}
-                            | (
-                                {
-                                    "Properties": dict(
-                                        kv.split("=") for kv in n.split("#")[1].split(",")
-                                    )
-                                }
-                                if "#" in n
-                                else {}
-                            )
-                            for n in palette
-                        ],
-                        "data": longs.astype(np.int64),
-                    },
-                }
-            )
+            sec_nbt = {
+                "Y": int(y),
+                "block_states": {
+                    "palette": [
+                        {"Name": n.split("#")[0]}
+                        | (
+                            {
+                                "Properties": dict(
+                                    kv.split("=") for kv in n.split("#")[1].split(",")
+                                )
+                            }
+                            if "#" in n
+                            else {}
+                        )
+                        for n in palette
+                    ],
+                    "data": longs.astype(np.int64),
+                },
+            }
+            if biome_spec is not None:
+                if isinstance(biome_spec, str):
+                    sec_nbt["biomes"] = {"palette": [biome_spec]}
+                else:
+                    b_pal, b_idx = biome_spec
+                    b_bits = max(1, int(np.ceil(np.log2(max(len(b_pal), 2)))))
+                    b_per = 64 // b_bits
+                    b_longs = np.zeros((64 + b_per - 1) // b_per, np.uint64)
+                    bi = np.arange(64)
+                    np.bitwise_or.at(
+                        b_longs,
+                        bi // b_per,
+                        np.asarray(b_idx, np.uint64)
+                        << ((bi % b_per) * b_bits).astype(np.uint64),
+                    )
+                    sec_nbt["biomes"] = {
+                        "palette": list(b_pal),
+                        "data": b_longs.astype(np.int64),
+                    }
+            sections.append(sec_nbt)
         root = {"sections": sections, "xPos": cx, "zPos": cz}
         raw = write_nbt(root)
         comp = zlib.compress(raw)

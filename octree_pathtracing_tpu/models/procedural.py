@@ -266,6 +266,48 @@ def minecraft_chunk_scene(depth: int = 5, seed: int = 0, cache_dir: str | None =
     return scene, camera
 
 
+def emissive_room_scene(depth: int = 3):
+    """Closed diffuse room lit ONLY by its emissive ceiling — the
+    ``EmitterSampling.ONE`` validation scene (VERDICT r3 #6 done-criterion:
+    the reference declares the strategy but never implements it,
+    ``scene/mod.rs:39-57``).  No ray can escape, so all light is emitter
+    transport: NONE at high spp and ONE at low spp must converge to the same
+    mean image.
+    """
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    W, L = 1, 2
+    grid[0, :, :] = W
+    grid[s - 1, :, :] = W
+    grid[:, 0, :] = W
+    grid[:, :, 0] = W
+    grid[:, :, s - 1] = W
+    grid[:, s - 1, :] = L  # whole ceiling emits
+
+    tree = build_from_dense(grid)
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((210, 210, 210)),
+        _solid_texture((255, 240, 220)),
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2, emittance=4.0),
+    ]
+    scene = make_scene(
+        tree,
+        make_material_table(materials),
+        build_atlas(textures),
+        sun=make_sun(altitude=-np.pi / 2),
+        emitter_sampling="one",
+    )
+    camera = Camera.look_at(
+        eye=(s * 0.52, s * 0.43, s * 0.55), center=(s * 0.21, s * 0.35, s * 0.2)
+    )
+    return scene, camera
+
+
 def plant_scene(depth: int = 3):
     """Quad-model + sun-NEE scene for sharding dry runs and integration tests:
     stone floor, a row of cross-plant quad models (non-simple block models),

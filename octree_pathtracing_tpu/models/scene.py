@@ -46,6 +46,8 @@ class Scene:
     models: Any = None  # BlockModels | None
     # optional analytic primitives (free spheres/quads, scene/mod.rs:146-156)
     prims: Any = None  # Primitives | None
+    # optional emissive-leaf table for EmitterSampling.ONE (models/emitters.py)
+    emitters: Any = None  # EmitterTable | None
     sun_sampling: SunSampling = dataclasses.field(default_factory=SunSampling.importance)
     emitter_sampling: str = EmitterSampling.NONE
     emitters_enabled: bool = True
@@ -66,6 +68,7 @@ class Scene:
             self.leaf_material,
             self.models,
             self.prims,
+            self.emitters,
         ), (
             self.sun_sampling,
             self.emitter_sampling,
@@ -77,7 +80,7 @@ class Scene:
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], ch[6], *aux)
+        return cls(ch[0], ch[1], ch[2], ch[3], ch[4], ch[5], ch[6], ch[7], *aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -172,6 +175,16 @@ def make_scene(
         m_min_alpha = min_alpha[np.clip(tex_idx, 0, len(min_alpha) - 1)]
         kwargs["opaque_only"] = bool(np.all(m_min_alpha > 5e-8)) and not kwargs.get(
             "has_quad_models", False
+        )
+    if (
+        kwargs.get("emitter_sampling", EmitterSampling.NONE) != EmitterSampling.NONE
+        and "emitters" not in kwargs
+        and not isinstance(octree, BrickOctree)
+    ):
+        from .emitters import build_emitter_table
+
+        kwargs["emitters"] = build_emitter_table(
+            octree, leaf_material, materials, models
         )
     from ..ops.texture import Atlas as _Atlas
 

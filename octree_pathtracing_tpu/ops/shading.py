@@ -20,6 +20,8 @@ slot  use
 7     subsurface-scatter chance
 8-15  4 redraw pairs (shallow-angle rejection)
 16,17 sun-cone NEE sample
+18    emitter pick (EmitterSampling.ONE)
+19,20 emitter surface-point sample
 ====  =======================================
 """
 
@@ -34,12 +36,13 @@ PI = np.pi
 EPSILON = 5e-8  # Ray::EPSILON (ray/mod.rs:26)
 OFFSET = 1e-6  # Ray::OFFSET (ray/mod.rs:27)
 
-N_UNIFORMS = 18
+N_UNIFORMS = 21
 U_METAL, U_SPECULAR, U_DIFFUSE, U_FRESNEL = 0, 1, 2, 3
 U_X1, U_X2 = 4, 5
 U_IMPORTANCE, U_SUBSURFACE = 6, 7
 U_REDRAW0 = 8  # 4 pairs: 8..15
 U_SUN1, U_SUN2 = 16, 17
+U_EM_PICK, U_EM1, U_EM2 = 18, 19, 20
 
 
 def _dot(a, b):

@@ -129,19 +129,23 @@ def _surface_of_candidate(scene: Scene, origins, dirs, leaf_value, face_id, uv,
     return is_surface, mat, uu, vv
 
 
-def shadow_state_init(cur_mat, n_surfaces: int):
+def shadow_state_init(cur_mat, n_surfaces: int, record_t: bool = False):
     """Initial accept_state for the one-traversal shadow attenuation walk.
 
     Every array is derived from ``cur_mat`` (a varying per-lane input) rather
     than plain ``jnp.zeros`` so the traversal ``while_loop`` carry keeps
     consistent varying-manual-axes under shard_map (see traversal.py:137).
+
+    ``record_t``: additionally record each surface's world-space ``t`` (the
+    emitter-NEE walk truncates attenuation at the light's distance; the sun
+    walk doesn't pay for the extra carry rows).
     """
     cm = cur_mat.astype(jnp.int32)
     zi = cm * 0  # varying zeros, int32 (B,)
     zf = zi.astype(jnp.float32)
     rows_i = zi[None, :] + jnp.zeros((n_surfaces, 1), jnp.int32)
     rows_f = zf[None, :] + jnp.zeros((n_surfaces, 1), jnp.float32)
-    return dict(
+    st = dict(
         count=zi,
         w=zf + 1.0,
         cm=cm,
@@ -149,6 +153,9 @@ def shadow_state_init(cur_mat, n_surfaces: int):
         uu=rows_f,
         vv=rows_f,
     )
+    if record_t:
+        st["ts"] = rows_f + jnp.float32(jnp.inf)
+    return st
 
 
 def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
@@ -190,6 +197,8 @@ def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
             uu=jnp.where(sel, uu[None, :], state["uu"]),
             vv=jnp.where(sel, vv[None, :], state["vv"]),
         )
+        if "ts" in state:
+            new_state["ts"] = jnp.where(sel, t_world[None, :], state["ts"])
         return stop, new_state
 
     return accept

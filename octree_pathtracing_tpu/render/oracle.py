@@ -96,6 +96,7 @@ def scene_to_numpy(scene):
         emitters_enabled=scene.emitters_enabled,
         f_sub_surface=float(scene.f_sub_surface),
         prims=_prims_np(scene),
+        emitters=_emitters_np(scene),
     )
 
 
@@ -105,6 +106,17 @@ def _prims_np(scene):
     from ..models.prims import prims_to_numpy
 
     return prims_to_numpy(scene.prims)
+
+
+def _emitters_np(scene):
+    if getattr(scene, "emitters", None) is None:
+        return None
+    em = scene.emitters
+    return dict(
+        pos=np.asarray(em.pos, np.float64),
+        size=np.asarray(em.size, np.float64),
+        mat=np.asarray(em.mat, np.int64),
+    )
 
 
 def _prim_merge(sc, origin, direction, h):
@@ -331,17 +343,25 @@ def _sun_cone_dir(sc, u1, u2):
     )
 
 
-def _shadow_attenuation(sc, origin, direction, cur_mat):
+def _shadow_attenuation(sc, origin, direction, cur_mat, max_t=None):
+    """``max_t``: surfaces at/beyond this world distance (from ``origin``)
+    don't attenuate — the emitter-NEE truncation (spec shared with
+    ``render/pathtracer.py::shadow_attenuation``)."""
     att = np.ones(4)
     o = origin.copy()
     cm = cur_mat
+    dist_so_far = 0.0
     strict = sc["strat"].strict_direct_light
     for _ in range(SHADOW_MAX_SURFACES):
         if att[3] <= 0.0:
             break
         o = o + direction * OFFSET
+        dist_so_far += OFFSET
         h = _trace(sc, o, direction, cm)
         if not h.hit:
+            break
+        t_world = h.t / sc["octree_scale"]
+        if max_t is not None and dist_so_far + t_world >= max_t:
             break
         mat = _mat_of_leaf(sc, h.leaf_value)
         albedo = _sample_atlas(sc, sc["texture_index"][mat], h.u, h.v)
@@ -350,17 +370,19 @@ def _shadow_attenuation(sc, origin, direction, cur_mat):
         att[3] *= mult
         if strict and sc["ior"][cm] != sc["ior"][mat]:
             att[3] = 0.0
-        t_world = h.t / sc["octree_scale"]
         o = o + direction * t_world
+        dist_so_far += t_world
         cm = mat
     # nearest analytic primitive contributes one factor (spec shared with
     # render/pathtracer.py::shadow_attenuation)
     if sc.get("prims") is not None:
         from ..models.prims import intersect_prims_np
 
-        p_hit, _, p_mat, p_uv, _ = intersect_prims_np(
+        p_hit, p_t, p_mat, p_uv, _ = intersect_prims_np(
             sc["prims"], origin + direction * OFFSET, direction
         )
+        if p_hit and max_t is not None and OFFSET + p_t >= max_t:
+            p_hit = False
         if p_hit:
             albedo = _sample_atlas(sc, sc["texture_index"][p_mat], p_uv[0], p_uv[1])
             mult = 1.0 - albedo[3]
@@ -372,8 +394,62 @@ def _shadow_attenuation(sc, origin, direction, cur_mat):
     return att
 
 
+def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
+    """EmitterSampling.ONE contribution at a diffuse bounce (scalar twin of
+    the block in ``render/pathtracer.py::_shade``; estimator spec in
+    ``models/emitters.py``).  Returns (3,) radiance (pre-throughput)."""
+    from ..ops.shading import U_EM_PICK, U_EM1, U_EM2
+
+    em = sc["emitters"]
+    e = em["pos"].shape[0]
+    idx = min(int(u[U_EM_PICK] * e), e - 1)
+    pos = em["pos"][idx]
+    size = em["size"][idx]
+    mat_e = int(em["mat"][idx])
+
+    # visible-face importance sampling (twin of models/emitters.py
+    # sample_emitter_point: cosine-weighted choice among the 3 near faces)
+    center = pos + 0.5 * size
+    dpc = np.asarray(hitpoint, np.float64) - center
+    dn = max(np.linalg.norm(dpc), 1e-6)
+    w = np.abs(dpc) / dn + 1e-6
+    csum = np.cumsum(w)
+    total = csum[2]
+    r = u[U_EM1] * total
+    axis = 0 if r < csum[0] else (1 if r < csum[1] else 2)
+    w_a = w[axis]
+    lo = 0.0 if axis == 0 else csum[axis - 1]
+    a = min(max((r - lo) / w_a, 0.0), 1.0)
+    b = u[U_EM2]
+    hi = 1.0 if dpc[axis] > 0.0 else 0.0
+    ax1 = (axis + 1) % 3
+    ax2 = (axis + 2) % 3
+    q = pos.copy()
+    q[axis] += hi * size
+    q[ax1] += a * size
+    q[ax2] += b * size
+    ne = np.zeros(3)
+    ne[axis] = 2.0 * hi - 1.0
+
+    to_q = q - hitpoint
+    dist = np.linalg.norm(to_q)
+    if dist < EPSILON:
+        return np.zeros(3)
+    wi = to_q / dist
+    cos_s = float(wi @ n)
+    cos_e = float(-wi @ ne)
+    if cos_s <= 0.0 or cos_e <= 0.0:
+        return np.zeros(3)
+    att = _shadow_attenuation(sc, hitpoint, wi, cur_mat, max_t=dist * (1.0 - 1e-3))
+    albedo_e = _sample_atlas(sc, sc["texture_index"][mat_e], a, b)
+    l_e = albedo_e[:3] * albedo_e[:3] * sc["emittance"][mat_e]
+    geom = cos_s * cos_e / max(dist * dist, EPSILON) / PI
+    inv_pdf = e * size * size * total / w_a
+    return albedo[:3] * l_e * att[:3] * (geom * inv_pdf * att[3])
+
+
 def trace_path_oracle(sc, origin, direction, uniforms):
-    """Trace one lane; returns radiance (3,).  ``uniforms``: (5, 18)."""
+    """Trace one lane; returns radiance (3,).  ``uniforms``: (n_bounces, N_UNIFORMS)."""
     strat = sc["strat"]
     origin = np.asarray(origin, np.float64).copy()
     d = np.asarray(direction, np.float64).copy()
@@ -446,6 +522,14 @@ def trace_path_oracle(sc, origin, direction, uniforms):
                         radiance += (
                             throughput * albedo[:3] * direct * sc["sun_emittance"][:3]
                         )
+            if (
+                sc["emitter_sampling"] == EmitterSampling.ONE
+                and sc.get("emitters") is not None
+                and sc["emitters_enabled"]
+            ):
+                radiance += throughput * _emitter_nee(
+                    sc, hitpoint, n, albedo, u, cur_mat
+                )
             d_new, w = _diffuse_dir(sc, n, u, strat.importance_sampling)
             throughput = throughput * albedo[:3] * w
             origin = hitpoint + d_new * OFFSET

@@ -48,6 +48,9 @@ from ..ops.shading import (
     U_SUBSURFACE,
     U_SUN1,
     U_SUN2,
+    U_EM_PICK,
+    U_EM1,
+    U_EM2,
     diffuse_dir_and_weight,
     fresnel_schlick,
     refract_dir,
@@ -113,7 +116,8 @@ def _trace_stateful(scene: Scene, origins, dirs, accept_builder, state, active=N
     )
 
 
-def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
+def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
+                       max_t=None):
     """Direct-light attenuation walk (``path_tracer.rs:458-483``).
 
     Marches the shadow ray through up to SHADOW_MAX_SURFACES alpha surfaces:
@@ -125,6 +129,10 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
     attenuation product is then recomputed *differentiably* from the recorded
     (mat, uv) sequence, so albedo gradients through shadow blockers are
     preserved despite the detached loop.
+
+    ``max_t``: optional (B,) world-space distance cap — surfaces at or beyond
+    it don't attenuate (emitter NEE: the light's own entry face must not
+    shadow itself).  ``None`` (the sun walk) records no t and pays nothing.
     """
     from .hit import make_shadow_accept_fn, shadow_state_init
 
@@ -133,7 +141,8 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
     def builder(scene_sg, o_sg, d_sg):
         return make_shadow_accept_fn(scene_sg, o_sg, d_sg, strict)
 
-    state0 = shadow_state_init(cur_mat, SHADOW_MAX_SURFACES)
+    state0 = shadow_state_init(cur_mat, SHADOW_MAX_SURFACES,
+                               record_t=max_t is not None)
     _, st = _trace_stateful(
         scene, origins + dirs * OFFSET, dirs, builder, state0, active=active
     )
@@ -155,6 +164,8 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
             ior_change = scene.materials.ior[cm] != scene.materials.ior[mat]
             new_w = jnp.where(ior_change, 0.0, new_w)
         upd = (k < count) & (w > 0.0)
+        if max_t is not None:
+            upd = upd & (st["ts"][k] < max_t)
         att_rgb = jnp.where(upd[:, None], new_rgb, att_rgb)
         w = jnp.where(upd, new_w, w)
         cm = jnp.where(upd, mat, cm)
@@ -163,7 +174,9 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None):
     # contributes one attenuation factor (spec shared with the oracle; a
     # translucent prim behind another prim is not re-marched)
     if scene.prims is not None:
-        p_hit, _, p_mat, p_uv, _ = _prim_hit(scene, origins + dirs * OFFSET, dirs)
+        p_hit, p_t, p_mat, p_uv, _ = _prim_hit(scene, origins + dirs * OFFSET, dirs)
+        if max_t is not None:
+            p_hit = p_hit & (p_t < max_t)
         albedo_p = _albedo_at(scene, p_mat, p_uv)
         mult_p = 1.0 - albedo_p[:, 3]
         att_rgb = jnp.where(
@@ -237,7 +250,24 @@ def _auto_tiles(b: int) -> int:
     return t
 
 
-def _sort_state_by_active(st, key="active"):
+def _morton3_coarse(p, extent: float, bits: int):
+    """(B, 3) world positions -> (B,) int32 coarse Morton codes (``bits`` per
+    axis: the supercell grid is ``2^bits`` per side over ``extent``)."""
+    n = 1 << bits
+    g = jnp.clip((p * (n / extent)).astype(jnp.int32), 0, n - 1)
+    code = g[:, 0] * 0
+    for i in range(bits):
+        code = (
+            code
+            | (((g[:, 0] >> i) & 1) << (3 * i))
+            | (((g[:, 1] >> i) & 1) << (3 * i + 1))
+            | (((g[:, 2] >> i) & 1) << (3 * i + 2))
+        )
+    return code
+
+
+def _sort_state_by_active(st, key="active", extent: float = 512.0,
+                          morton_bits: int = 4):
     """Stable-partition the lane state: active lanes first, dead lanes last.
 
     Dead lanes then cluster into whole tiles whose lockstep ``while_loop``
@@ -252,6 +282,13 @@ def _sort_state_by_active(st, key="active"):
     tile's lockstep traversal sees directionally coherent rays — fewer
     straggler iterations on incoherent bounce wavefronts.  Measured on chip
     before defaulting (tools/profile_sortkeys.py).
+
+    ``key="morton"`` groups live lanes by the coarse Morton code of their
+    current origin (the hit voxel that spawned the bounce ray): tiles then
+    traverse *spatially* clustered wavefronts, so each tile's lockstep
+    iteration count tracks its own neighborhood's walk length instead of the
+    global straggler (VERDICT r3 #3 — position coherence is what the failed
+    direction-octant key destroyed).
     """
     b = st["active"].shape[0]
     active = st["active"]
@@ -264,6 +301,10 @@ def _sort_state_by_active(st, key="active"):
             | ((d[:, 2] < 0).astype(jnp.int32) << 2)
         )
         bucket = jnp.where(active, octant, 8)  # dead lanes last
+        perm = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+    elif key == "morton":
+        code = _morton3_coarse(st["origin"], extent, morton_bits)
+        bucket = jnp.where(active, code, 1 << (3 * morton_bits))  # dead last
         perm = jnp.argsort(bucket, stable=True).astype(jnp.int32)
     else:
         n_act = jnp.cumsum(a)
@@ -437,9 +478,10 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
     st = _init_state(origins, dirs)
     st["idx"] = jnp.arange(b, dtype=jnp.int32)
 
+    extent = float(1 << scene.octree.depth)
     for bounce in range(n_bounces):
         if bounce > 0:
-            st = _sort_state_by_active(st, key=sort_key)
+            st = _sort_state_by_active(st, key=sort_key, extent=extent)
             u_b = jnp.take(uniforms[:, bounce, :], st["idx"], axis=0)
         else:
             u_b = uniforms[:, 0, :]
@@ -759,6 +801,58 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
         nee = albedo[:, :3] * direct * scene.sun.emittance[None, :3]
         radiance = radiance + jnp.where(
             shadow_on[:, None], st["throughput"] * nee, 0.0
+        )
+
+    # emitter NEE on diffuse bounces (EmitterSampling.ONE — this framework's
+    # implementation of the strategy the reference only declares,
+    # scene/mod.rs:39-57; estimator spec in models/emitters.py)
+    if (
+        scene.emitter_sampling == EmitterSampling.ONE
+        and scene.emitters is not None
+        and scene.emitters_enabled
+    ):
+        from ..models.emitters import sample_emitter_point
+
+        smp = sample_emitter_point(
+            scene.emitters,
+            jax.lax.stop_gradient(hitpoint),
+            u[:, U_EM_PICK],
+            u[:, U_EM1],
+            u[:, U_EM2],
+        )
+        to_q = jax.lax.stop_gradient(smp["q"]) - hitpoint
+        # sqrt(max(., eps^2)) keeps the backward finite on masked lanes where
+        # q == hitpoint (jnp.where's 0 * nan cotangent trap)
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_q * to_q, -1), EPSILON * EPSILON))
+        wi = to_q / dist[:, None]
+        cos_s = jnp.sum(wi * n, axis=-1)
+        cos_e = jnp.sum(-wi * smp["ne"], axis=-1)
+        em_on = sc["do_diff"] & can_scatter & (cos_s > 0.0) & (cos_e > 0.0)
+        # truncate the attenuation walk just short of the emitter so its own
+        # entry face never self-shadows
+        att = shadow_attenuation(
+            scene,
+            hitpoint,
+            wi,
+            st["cur_mat"],
+            active=em_on,
+            max_t=dist * (1.0 - 1e-3),
+        )
+        albedo_e = _albedo_at(scene, smp["mat"], smp["uv"])
+        l_e = (
+            albedo_e[:, :3]
+            * albedo_e[:, :3]
+            * scene.materials.emittance[smp["mat"]][:, None]
+        )
+        geom = cos_s * cos_e / jnp.maximum(dist * dist, EPSILON) / jnp.pi
+        contrib = (
+            albedo[:, :3]
+            * l_e
+            * att[:, :3]
+            * (geom * smp["inv_pdf"] * att[:, 3])[:, None]
+        )
+        radiance = radiance + jnp.where(
+            em_on[:, None], st["throughput"] * contrib, 0.0
         )
 
     new_origin = hitpoint + sc["new_dir"] * OFFSET

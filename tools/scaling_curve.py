@@ -94,6 +94,10 @@ def main():
         rays_s = b * n_bounces / best
         if k == 1:
             t1 = best
+        if t1 is None:  # partial sweep without k=1 (SCALE_KS=2,4,8):
+            # seed the reference time from env (a prior k=1 measurement at
+            # the same SCALE_LANES), else from the first measured k
+            t1 = float(os.environ.get("SCALE_T1_MS", best * 1e3)) / 1e3
         raw_eff = t1 / best
         core_eff = raw_eff * k / min(k, ncores)
         results.append(
