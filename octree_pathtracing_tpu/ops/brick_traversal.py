@@ -73,6 +73,10 @@ def traverse_tree(
     accept_fn: Optional[Callable] = None,
     accept_state=None,
     active_mask=None,
+    stop_cells: Optional[int] = None,
+    t_start=None,
+    max_steps: Optional[int] = None,
+    export_resume: bool = False,
 ):
     """Dispatch a ray batch to the kernel matching the pool layout:
     ``BrickOctree`` -> ``traverse_brick``; plain ``Octree`` -> ``traverse``.
@@ -86,6 +90,8 @@ def traverse_tree(
     from .traversal import traverse
 
     if isinstance(tree, BrickOctree):
+        if stop_cells is not None or t_start is not None:
+            raise ValueError("beam/LOD traversal is plain-Octree only")
         return traverse_brick(
             tree,
             origins,
@@ -107,6 +113,10 @@ def traverse_tree(
         depth=tree.depth,
         accept_state=accept_state,
         active_mask=active_mask,
+        stop_cells=stop_cells,
+        t_start=t_start,
+        max_steps=max_steps,
+        export_resume=export_resume,
     )
 
 

@@ -50,6 +50,13 @@ from jax import lax
 MAX_STEPS = 1000
 MAX_SCALE = 23
 EPSILON = 1.1920929e-7  # 2^-23
+# default masked-examine passes per fetched node row (fused same-parent
+# ADVANCE chains).  Measured on chip r4: primaries-only look flat-to-better
+# at k=3/4 (55.1/54.8/54.1 ms for k=2/3/4), but END-TO-END the extra VPU
+# pass loses (full bench fwd 48.6/52.1/52.6 ms, fwd+bwd 65.0/66.2/69.3) —
+# k=2 stays (tools/PERF_NOTES.md r4).  Trace-time constant; override per
+# call via traverse(k_examine=).
+K_EXAMINE = 2
 
 ACTIVE, CANDIDATE, MISS, BRICK = 0, 1, 2, 3
 
@@ -105,8 +112,14 @@ class HitResult(NamedTuple):
     steps: jnp.ndarray  # () int32 — loop iterations executed
 
 
-def _init(root, octree_scale, origins, directions, max_dst, stack_rows):
-    """Per-lane traversal init (``octree_traversal.rs:69-125``)."""
+def _init(root, octree_scale, origins, directions, max_dst, stack_rows,
+          t_start=None):
+    """Per-lane traversal init (``octree_traversal.rs:69-125``).
+
+    ``t_start``: optional (B,) WORLD-space parameter to restart the march at
+    (beam pre-pass): ``t_min`` clamps up to it and the root-level child
+    selection below then picks the cell containing the ray at that t — the
+    same init math already handles origins inside the volume."""
     ro = origins.astype(_f32).T * _f32(octree_scale) + 1.0  # (3, B)
     rd = directions.astype(_f32).T
     b = ro.shape[1]
@@ -127,6 +140,8 @@ def _init(root, octree_scale, origins, directions, max_dst, stack_rows):
 
     t_min = jnp.maximum(jnp.max(2.0 * t_coef - t_bias, axis=0), 0.0)
     t_max = jnp.min(t_coef - t_bias, axis=0)
+    if t_start is not None:
+        t_min = jnp.maximum(t_min, t_start.astype(_f32) * _f32(octree_scale))
     upper_gt = (1.5 * t_coef - t_bias) > t_min[None, :]
     index = (
         upper_gt[0].astype(jnp.int32)
@@ -186,7 +201,7 @@ def _mux8(slot, cols):
 
 
 def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
-          k_examine=2):
+          k_examine=2, stop_scale=None):
     """One lockstep iteration of the ESVO loop over the whole batch.
 
     ``nodes_packed``: (N, 8) int32 — one word per child slot: low 30 bits =
@@ -217,16 +232,21 @@ def _step(nodes_packed, c: RayConstants, s: Carry, scale_base, brick_bit=None,
     row = nodes_packed[s.parent]  # (B, 8) — the step's single gather
     mask = None
     for _ in range(k_examine):
-        s, mask = _examine(row, c, s, scale_base, brick_bit, mask)
+        s, mask = _examine(row, c, s, scale_base, brick_bit, mask, stop_scale)
     return s._replace(step=s.step + 1)
 
 
-def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask):
+def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
+             stop_scale=None):
     """One masked PUSH/ADVANCE/POP/hit decision against a fetched node row.
 
     ``act_mask``: lanes allowed to act (None = all).  Returns
     ``(new_carry, cont)`` where ``cont`` marks lanes whose next examination
     can reuse the same row (a same-parent ADVANCE).
+
+    ``stop_scale``: static int — any PRESENT child cell at scale <=
+    stop_scale counts as a leaf (conservative coarse/LOD traversal: its
+    entry t lower-bounds every surface t inside it; the beam pre-pass).
     """
     active = s.status == ACTIVE
     if act_mask is not None:
@@ -243,9 +263,18 @@ def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask):
     value = word & VALUE_MASK
     present = ((word >> PRESENT_BIT) & 1) != 0
     leafb = (word >> LEAF_BIT_PACKED) != 0  # arithmetic shift of the sign bit
+    t_ok = s.t_min > 0.0
+    if stop_scale is not None:
+        # an INTERNAL stop-scale cell hits even at t_min == 0: a ray starting
+        # inside it may still face sub-geometry at t > 0, and a conservative
+        # pre-pass must not skip past that (real leaves keep the reference's
+        # origin-inside-voxel skip, matching the fine pass)
+        stop_internal = (s.scale <= stop_scale) & ~leafb
+        leafb = leafb | stop_internal
+        t_ok = t_ok | stop_internal
 
     valid = present & (s.t_min <= s.t_max)
-    is_hit = active & ~dist_miss & valid & leafb & (s.t_min > 0.0) & ~s.reject
+    is_hit = active & ~dist_miss & valid & leafb & t_ok & ~s.reject
     if brick_bit is not None:
         brickf = (value & jnp.int32(brick_bit)) != 0
         brick_hit = active & ~dist_miss & valid & leafb & brickf & ~s.reject
@@ -430,11 +459,36 @@ def traverse(
     accept_state=None,
     active_mask=None,
     k_examine: Optional[int] = None,
+    stop_cells: Optional[int] = None,
+    t_start=None,
+    max_steps: Optional[int] = None,
+    export_resume: bool = False,
 ):
     """Trace a ray batch to its first (accepted) leaf hits.
 
     ``k_examine``: decision blocks run per fetched node row (default 2 —
     the fused same-parent-ADVANCE win of PERF_NOTES r3).
+
+    ``stop_cells``: coarse/LOD mode — any present cell of ``stop_cells``
+    voxels per side counts as a leaf (requires ``depth``).  Conservative:
+    the reported t lower-bounds every surface t inside the cell.  Used by
+    the beam pre-pass and LOD previews; ``leaf_value`` is then the child
+    word's value field (a node index for internal cells — don't shade it).
+
+    ``t_start``: optional (B,) world-space parameter to restart the march at
+    (``t_min = max(entry, t_start)``) — the fine pass of a beam-restart
+    resumes just before the coarse cell the pre-pass found.  All t values
+    re-derive from the current position each iteration, so a restarted
+    march lands on bit-identical hits.
+
+    ``max_steps``/``export_resume``: straggler-drain support.  ``max_steps``
+    caps the lockstep loop below the default MAX_STEPS; with
+    ``export_resume`` the call returns ``(HitResult, resume_t, unfinished)``
+    where ``unfinished`` marks lanes still ACTIVE at the cap and
+    ``resume_t`` is their current world-space march parameter — re-calling
+    with ``t_start = resume_t - margin`` continues the walk (restart-from-t,
+    see above).  The drain orchestration lives in the integrator
+    (``render/pathtracer.py``).
 
     ``active_mask``: optional (B,) bool — lanes that are False start as
     MISS and contribute no loop iterations (wavefront compaction: a tile of
@@ -460,12 +514,20 @@ def traverse(
     """
     stack_rows = int(depth) + 1 if depth is not None else MAX_SCALE + 1
     scale_base = MAX_SCALE - (int(depth) if depth is not None else MAX_SCALE)
+    stop_scale = None
+    if stop_cells is not None:
+        if depth is None:
+            raise ValueError("stop_cells requires depth")
+        import math
+
+        stop_scale = scale_base + int(math.log2(stop_cells))
     consts, carry0 = _init(
-        root, octree_scale, origins, directions, max_dst, stack_rows
+        root, octree_scale, origins, directions, max_dst, stack_rows,
+        t_start=t_start,
     )
     nodes_packed = pack_nodes(child_mask, child_data)
     loop_table = nodes_packed
-    k = k_examine if k_examine is not None else 2
+    k = k_examine if k_examine is not None else K_EXAMINE
     inv_scale = 1.0 / octree_scale
     stateful = accept_state is not None
     if stateful:
@@ -475,19 +537,23 @@ def traverse(
             status=jnp.where(active_mask, carry0.status, MISS)
         )
 
+    step_cap = MAX_STEPS if max_steps is None else int(max_steps)
+
     def cond(s):
-        return jnp.any(s.status == ACTIVE) & (s.step < MAX_STEPS)
+        return jnp.any(s.status == ACTIVE) & (s.step < step_cap)
 
     if accept_fn is None:
 
         def body(s):
-            return _step(loop_table, consts, s, scale_base, k_examine=k)
+            return _step(loop_table, consts, s, scale_base, k_examine=k,
+                         stop_scale=stop_scale)
 
     else:
 
         def body(s):
             prev_status = s.status
-            s = _step(loop_table, consts, s, scale_base, k_examine=k)
+            s = _step(loop_table, consts, s, scale_base, k_examine=k,
+                      stop_scale=stop_scale)
             fresh = (s.status == CANDIDATE) & (prev_status == ACTIVE)
 
             def run_accept(s, fresh=fresh):
@@ -535,6 +601,12 @@ def traverse(
         voxel_size=s.scale_exp2 * inv_scale,
         steps=s.step,
     )
+    if export_resume:
+        unfinished = s.status == ACTIVE
+        resume_t = s.t_min * inv_scale
+        if stateful:
+            return res, s.user, resume_t, unfinished
+        return res, resume_t, unfinished
     if stateful:
         return res, s.user
     return res

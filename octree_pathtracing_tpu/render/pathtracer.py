@@ -68,7 +68,10 @@ def _albedo_at(scene: Scene, mat_id, uv):
     return sample_atlas(scene.atlas, layer, uv[:, 0], uv[:, 1])
 
 
-def _trace(scene: Scene, origins, dirs, active=None):
+BEAM_CELLS = 16  # coarse-cell side (voxels) of the beam pre-pass
+
+
+def _trace(scene: Scene, origins, dirs, active=None, beam=False):
     """Traversal with the visibility structure detached from AD.
 
     All inputs are stop_gradient'ed so the while_loop carries no tangents:
@@ -79,21 +82,47 @@ def _trace(scene: Scene, origins, dirs, active=None):
     Candidate acceptance (texel alpha / block-model intersection) lives in
     ``render/hit.py``; a leaf whose model rejects the ray falls through to
     ADVANCE exactly like ``octree_traversal.rs:192-215``.
+
+    ``beam``: conservative coarse pre-pass (internal cells of BEAM_CELLS
+    voxels count as leaves) whose entry t restarts the fine march and whose
+    misses deactivate lanes outright — the empty-space skip of the original
+    ESVO beam optimization, per-ray instead of per-beam (every t re-derives
+    from the current position, so restarted hits are bit-identical; see
+    ``ops.traversal.traverse``).  Plain-Octree scenes only.
     """
     from .hit import make_accept_fn
+    from ..octree.brick import BrickOctree
 
     sg = jax.lax.stop_gradient
     scene_sg = jax.tree.map(sg, scene)
     tree = scene_sg.octree
     origins = sg(origins)
     dirs = sg(dirs)
+    active_sg = None if active is None else sg(active)
+    t_start = None
+    if beam and not isinstance(tree, BrickOctree) and (
+        tree.depth >= 6  # coarse cells must be coarser than leaves to pay
+    ):
+        coarse = traverse_tree(
+            tree,
+            origins,
+            dirs,
+            max_dst=MAX_DIST,
+            active_mask=active_sg,
+            stop_cells=BEAM_CELLS,
+        )
+        # back off one ulp-ish margin so the fine init's strict > picks the
+        # cell containing the restart point, never the one just past it
+        t_start = jnp.maximum(coarse.t - 1e-3, 0.0)
+        active_sg = coarse.hit if active_sg is None else active_sg & coarse.hit
     return traverse_tree(
         tree,
         origins,
         dirs,
         max_dst=MAX_DIST,
         accept_fn=make_accept_fn(scene_sg, origins, dirs),
-        active_mask=None if active is None else sg(active),
+        active_mask=active_sg,
+        t_start=t_start,
     )
 
 
@@ -207,6 +236,117 @@ def _prim_hit(scene: Scene, origins, dirs):
 
 TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
+DRAIN_STEPS = 32  # phase-1 loop cap of the straggler drain (r4 sweep)
+DRAIN_BUF = 4096  # straggler-buffer lanes per drain round
+
+
+def _pack_hitres(r):
+    """HitResult -> ((..., 7) float rows, (..., 3) int rows)."""
+    f = jnp.concatenate(
+        [r.t[..., None], r.uv, r.voxel_pos, r.voxel_size[..., None]], axis=-1
+    )
+    i = jnp.stack(
+        [r.face_id, r.leaf_value.astype(jnp.int32), r.hit.astype(jnp.int32)],
+        axis=-1,
+    )
+    return f, i
+
+
+def _traverse_drain(scene_sg, origins, dirs, active, t: int,
+                    k1: int = DRAIN_STEPS, margin: float = 1e-3):
+    """Tiled traversal with a straggler drain (all-opaque scenes).
+
+    The census (tools/PERF_NOTES.md r4) shows each 4096-lane tile pays its
+    own straggler: per-tile loop maxima ~50-140 against ~11 mean active
+    steps.  Phase 1 caps every tile's lockstep loop at ``k1`` iterations;
+    lanes still walking are then pulled ACROSS tile boundaries into a
+    DRAIN_BUF-lane buffer (rank-select scatter — no full-batch permutation:
+    whole-batch row gathers at 65k rows cost ~0.5 ms each and ate the win
+    in the first design) and resumed via restart-from-t
+    (``ops.traversal.traverse(t_start=)`` — bit-identical hits).  A
+    ``lax.while_loop`` repeats rounds until no lane is left, so overflow
+    beyond one buffer costs extra rounds, not a standing fallback pass; the
+    whole block is visibility-only and detached from AD (shading happens in
+    a separate differentiable pass).
+
+    Requires no accept callback (``scene.opaque_only``); stateful walks
+    keep the single-phase path.  Returns a HitResult over the full batch
+    (``steps`` = summed loop iterations across phases).
+    """
+    from ..ops.traversal import HitResult
+
+    tree = scene_sg.octree
+    b = origins.shape[0]
+    bt = b // t
+    s_buf = min(DRAIN_BUF, b)
+    act = jnp.ones((b,), bool) if active is None else active
+
+    def tile1(xs):
+        o_, d_, a_ = xs
+        r, rt_, unf_ = traverse_tree(
+            tree, o_, d_, max_dst=MAX_DIST, active_mask=a_,
+            max_steps=k1, export_resume=True,
+        )
+        f_, i_ = _pack_hitres(r)
+        return f_, i_, rt_, unf_, r.steps
+
+    r3 = lambda x: x.reshape((t, bt) + x.shape[1:])
+    f1, i1, rt, unf, steps1 = jax.lax.map(
+        tile1, (r3(origins), r3(dirs), act.reshape(t, bt))
+    )
+    f1 = f1.reshape(b, 7)
+    i1 = i1.reshape(b, 3)
+    rt = rt.reshape(b)
+    unf = unf.reshape(b)
+
+    # ray data the drain rounds gather per selected lane (B, 7)
+    ray_pk = jnp.concatenate(
+        [origins, dirs, jnp.maximum(rt - margin, 0.0)[:, None]], axis=1
+    )
+    lane_ids = jnp.arange(b, dtype=jnp.int32)
+
+    def drain_cond(c):
+        return jnp.any(c[0])
+
+    def drain_round(c):
+        remaining, f_acc, i_acc, steps = c
+        rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+        takes = remaining & (rank < s_buf)
+        # rank-select: buffer slot -> lane id (sentinel b = empty slot)
+        sel = jnp.full((s_buf,), b, jnp.int32).at[
+            jnp.where(takes, rank, s_buf)
+        ].set(lane_ids, mode="drop")
+        valid = sel < b
+        selc = jnp.minimum(sel, b - 1)
+        rows = ray_pk[selc]  # (S, 7) gather — S rows, not B
+        res = traverse_tree(
+            tree,
+            rows[:, 0:3],
+            rows[:, 3:6],
+            max_dst=MAX_DIST,
+            active_mask=valid,
+            t_start=rows[:, 6],
+        )
+        f_r, i_r = _pack_hitres(res)
+        f_acc = f_acc.at[sel].set(f_r, mode="drop")
+        i_acc = i_acc.at[sel].set(i_r, mode="drop")
+        remaining = remaining & ~takes
+        return remaining, f_acc, i_acc, steps + res.steps
+
+    _, f1, i1, steps = jax.lax.while_loop(
+        drain_cond, drain_round, (unf, f1, i1, steps1.sum())
+    )
+    return HitResult(
+        hit=i1[:, 2] != 0,
+        t=f1[:, 0],
+        face_id=i1[:, 0],
+        uv=f1[:, 1:3],
+        leaf_value=i1[:, 1].astype(jnp.uint32),
+        voxel_pos=f1[:, 3:6],
+        voxel_size=f1[:, 6],
+        steps=steps,
+    )
+
 
 def _init_state(origins, dirs):
     # every array derives from the varying per-lane ``origins`` so downstream
@@ -225,7 +365,7 @@ def _init_state(origins, dirs):
     )
 
 
-def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
+def _trace_paths_block(scene: Scene, origins, dirs, uniforms, beam=False):
     """The untiled integrator over one contiguous lane block.
 
     Bounce count is the uniform block's bounce axis (``uniforms.shape[1]``) —
@@ -239,6 +379,7 @@ def _trace_paths_block(scene: Scene, origins, dirs, uniforms):
             uniforms[:, bounce, :],
             is_first=bounce == 0,
             may_scatter=bounce + 1 < n_bounces,
+            beam=beam,
         )
     return state["radiance"]
 
@@ -460,7 +601,8 @@ _bounce_skip.defvjp(_bounce_skip_fwd, _bounce_skip_bwd)
 
 
 def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
-                           sort_key: str = "active", skip_dead: bool = False):
+                           sort_key: str = "active", skip_dead: bool = False,
+                           beam: bool = False, drain: bool = False):
     """Per-bounce tiled integrator with between-bounce liveness compaction.
 
     Every bounce runs as ``t`` sequential tiles (``lax.map``); before each
@@ -489,11 +631,56 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
         may = bounce + 1 < n_bounces
 
         idx = st.pop("idx")
+        st_tiles = jax.tree.map(lambda x: x.reshape((t, bt) + x.shape[1:]), st)
+        u_tiles = u_b.reshape(t, bt, -1)
+
+        if drain:
+            # straggler-drain traversal over the WHOLE batch, then a tiled
+            # shade pass on the precomputed hits (mirrors _bounce_skip_fwd's
+            # trace/shade split; traversal is detached so AD only sees the
+            # differentiable _shade)
+            sgf = jax.lax.stop_gradient
+            scene_sg = jax.tree.map(sgf, scene)
+            res = _traverse_drain(
+                scene_sg,
+                sgf(st["origin"]),
+                sgf(st["dir"]),
+                None if is_first else sgf(st["active"]),
+                t,
+            )
+            res = res._replace(steps=jnp.broadcast_to(res.steps, (t,)))
+            res_tiles = jax.tree.map(
+                lambda x: x.reshape((t, bt) + x.shape[1:])
+                if x.ndim >= 1 and x.shape[0] == b
+                else x,
+                res,
+            )
+
+            def shade_fn(xs, first=is_first, m=may):
+                st_t, u_t, res_t = xs
+                if first:
+                    return _shade(scene, st_t, u_t, res_t, first, m)
+                # dead tiles skip shading's fixed-cost gathers entirely
+                return jax.lax.cond(
+                    jnp.any(st_t["active"]),
+                    lambda a: _shade(scene, a[0], a[1], a[2], first, m),
+                    lambda a: a[0],
+                    (st_t, u_t, res_t),
+                )
+
+            st = jax.tree.map(
+                lambda x: x.reshape((b,) + x.shape[2:]),
+                jax.lax.map(shade_fn, (st_tiles, u_tiles, res_tiles)),
+            )
+            st["idx"] = idx
+            continue
 
         def tile_fn(xs, first=is_first, m=may):
             st_t, u_t = xs
             if first or not skip_dead:
-                return _bounce(scene, st_t, u_t, is_first=first, may_scatter=m)
+                return _bounce(
+                    scene, st_t, u_t, is_first=first, may_scatter=m, beam=beam
+                )
             # skip_dead: a fully-dead tile skips the whole bounce body — not
             # just the traversal loop but also resolve_hit/shading, whose
             # gather ops carry a fixed ~40-70us cost each regardless of
@@ -504,8 +691,6 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
             # ones.
             return _bounce_skip(scene, st_t, u_t, m)
 
-        st_tiles = jax.tree.map(lambda x: x.reshape((t, bt) + x.shape[1:]), st)
-        u_tiles = u_b.reshape(t, bt, -1)
         st = jax.tree.map(
             lambda x: x.reshape((b,) + x.shape[2:]),
             jax.lax.map(tile_fn, (st_tiles, u_tiles)),
@@ -516,7 +701,8 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
 
 
 def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True,
-                sort_key: str = "active", skip_dead: bool = False):
+                sort_key: str = "active", skip_dead: bool = False,
+                beam: bool = False, drain: bool = True):
     """Trace a lane batch to completion; returns (B, 3) linear radiance.
 
     ``uniforms``: (B, n_bounces, N_UNIFORMS) pre-drawn uniform block (see
@@ -534,21 +720,42 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     ``compact``: sort lanes active-first between bounces so dead lanes pack
     into tiles that exit instantly (wavefront compaction under static
     shapes).  Semantics are tile- and compaction-independent (per-lane RNG).
+
+    ``drain``: two-phase straggler-drain traversal (``_traverse_drain``) —
+    cap each tile's lockstep loop, pull the unfinished lanes across tile
+    boundaries into a drain buffer, resume them via restart-from-t.
+    Bit-identical results; measured -38% iterations on primary traversal
+    and -5% on the full fwd+bwd bench (PERF_NOTES r4).  Applies on
+    all-opaque plain-pool scenes in the compacted path (stateful accept
+    walks keep single-phase); quietly off otherwise, and off when
+    ``skip_dead`` is chosen — the two are alternative bounce strategies and
+    skip_dead measures faster for forward-only rendering while drain wins
+    differentiated (PERF_NOTES r4).
     """
+    from ..octree.brick import BrickOctree
+
     b = origins.shape[0]
     t = _auto_tiles(b) if tiles == "auto" else max(1, int(tiles))
+    drain = (
+        drain
+        and not skip_dead
+        and scene.opaque_only
+        and not isinstance(scene.octree, BrickOctree)
+    )
     if t <= 1 or b % t:
-        return _trace_paths_block(scene, origins, dirs, uniforms)
+        return _trace_paths_block(scene, origins, dirs, uniforms, beam=beam)
     if compact:
         return _trace_paths_compacted(
-            scene, origins, dirs, uniforms, t, sort_key, skip_dead
+            scene, origins, dirs, uniforms, t, sort_key, skip_dead, beam=beam,
+            drain=drain,
         )
     bt = b // t
     o = origins.reshape(t, bt, 3)
     d = dirs.reshape(t, bt, 3)
     u = uniforms.reshape((t, bt) + uniforms.shape[1:])
     out = jax.lax.map(
-        lambda xs: _trace_paths_block(scene, xs[0], xs[1], xs[2]), (o, d, u)
+        lambda xs: _trace_paths_block(scene, xs[0], xs[1], xs[2], beam=beam),
+        (o, d, u),
     )
     return out.reshape(b, 3)
 
@@ -721,10 +928,17 @@ def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
     )
 
 
-def _bounce(scene: Scene, st, u, is_first: bool, may_scatter: bool):
+def _bounce(scene: Scene, st, u, is_first: bool, may_scatter: bool,
+            beam: bool = False):
     # dead lanes skip the traversal entirely (a fully-dead tile's lockstep
     # loop runs zero iterations — the compaction payoff)
-    res = _trace(scene, st["origin"], st["dir"], None if is_first else st["active"])
+    res = _trace(
+        scene,
+        st["origin"],
+        st["dir"],
+        None if is_first else st["active"],
+        beam=beam and is_first,
+    )
     return _shade(scene, st, u, res, is_first, may_scatter)
 
 

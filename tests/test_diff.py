@@ -71,17 +71,71 @@ def test_grad_matches_finite_difference_emittance():
 
 
 def test_inverse_rendering_converges():
+    """Stochastic end-to-end recovery on a config whose initial photometric
+    mismatch clearly exceeds the 1-spp cross-stream noise floor (the old
+    depth-3/12x12 config's signal sat AT the floor, so the loss-halving
+    assertion was pure seed luck — r4 note: the per-step loss is an
+    estimate under fresh uniforms; only floors well below the initial
+    mismatch make convergence observable).  Mirrors the CLI ``train``
+    configuration, which demonstrably converges."""
     from octree_pathtracing_tpu.diff import inverse_render, render_views
+
+    scene, cam = sphere_scene(depth=4)
+    s = 16
+    cams = []
+    for i in range(3):
+        ang = 2 * np.pi * i / 3
+        cams.append(
+            Camera.look_at(
+                eye=(s * (0.5 + 0.9 * np.cos(ang)), s * 0.75, s * (0.5 + 0.9 * np.sin(ang))),
+                center=(s * 0.5, s * 0.3, s * 0.5),
+            )
+        )
+    w = h = 16
+    key = jax.random.PRNGKey(0)
+    targets = render_views(scene, cams, w, h, key)
+
+    res = inverse_render(scene, cams, targets, w, h, steps=12, lr=0.05, key=key)
+    assert res.losses[-1] < res.losses[0] * 0.5, res.losses[:3] + res.losses[-3:]
+
+
+def test_inverse_loss_deterministic_descent():
+    """Gradient correctness end-to-end, minus sampling noise: full-batch
+    descent on a FIXED uniform draw must reduce the loss monotonically
+    (distinguishes true regressions from the stochastic loop's noise)."""
+    from octree_pathtracing_tpu.diff import render_views
+    from octree_pathtracing_tpu.diff.inverse import make_inverse_loss
+    from octree_pathtracing_tpu.render.pathtracer import draw_uniforms
+    from octree_pathtracing_tpu.models.camera import pixel_grid_rays
+    from octree_pathtracing_tpu.ops.texture import Atlas
+    import jax.numpy as jnp
 
     scene, cam = sphere_scene(depth=3)
     s = 8
     cams = [
         Camera.look_at(eye=(s * ex, s * 0.8, s * ez), center=(s * 0.5, s * 0.3, s * 0.5))
-        for ex, ez in [(-0.5, -0.5), (1.5, -0.5), (0.5, -0.8), (-0.5, 1.5)]
+        for ex, ez in [(-0.5, -0.5), (1.5, -0.5)]
     ]
     w = h = 12
     key = jax.random.PRNGKey(7)
     targets = render_views(scene, cams, w, h, key)
-
-    res = inverse_render(scene, cams, targets, w, h, steps=25, lr=0.1, key=key)
-    assert res.losses[-1] < res.losses[0] * 0.5, res.losses[:3] + res.losses[-3:]
+    rays = [pixel_grid_rays(c, w, h) for c in cams]
+    ao = jnp.stack([r[0] for r in rays])
+    ad = jnp.stack([r[1] for r in rays])
+    all_u = jnp.stack(
+        [draw_uniforms(jax.random.fold_in(key, 100 + v), ao.shape[1]) for v in range(2)]
+    )
+    tex = scene.atlas.data if isinstance(scene.atlas, Atlas) else scene.atlas
+    params = {
+        "atlas": jnp.full_like(tex, 0.5).at[..., 3].set(jnp.asarray(tex)[..., 3]),
+        "emittance": jnp.zeros_like(scene.materials.emittance),
+    }
+    gf = jax.jit(jax.value_and_grad(make_inverse_loss(0.0), argnums=1))
+    losses = []
+    for _ in range(5):
+        l, g = gf(scene, params, ao, ad, all_u, targets)
+        params = jax.tree.map(lambda p, gr: p - 0.05 * gr, params, g)
+        params["atlas"] = jnp.clip(params["atlas"], 0.0, 1.0)
+        params["emittance"] = jnp.clip(params["emittance"], 0.0, None)
+        losses.append(float(l))
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
