@@ -105,9 +105,10 @@ def main():
     from octree_pathtracing_tpu.models.sun import SunSampling
 
     scene_nee = _dc.replace(scene, sun_sampling=SunSampling.high_quality())
-    fwd_nee = jax.jit(
-        lambda s, o, d, uu: trace_paths(s, o, d, uu, skip_dead=True)
-    )
+    # NEE fwd uses the drain (not skip_dead): with per-bounce shadow walks
+    # the straggler drain wins big (r4: 293 ms fwd+bwd vs 378 ms fwd under
+    # skip_dead on this line — shadow-heavy scenes are drain's best case)
+    fwd_nee = jax.jit(lambda s, o, d, uu: trace_paths(s, o, d, uu))
     fwdbwd_nee = jax.jit(jax.grad(loss_fn))
     jax.block_until_ready(fwd_nee(scene_nee, origins, dirs, u))
     jax.block_until_ready(fwdbwd_nee(params, scene_nee, origins, dirs, u))

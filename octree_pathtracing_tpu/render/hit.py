@@ -168,6 +168,12 @@ def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
     ending the lane.  Attenuation itself is recomputed differentiably from
     the recorded (mat, uv) list outside the loop (``shadow_attenuation``);
     the in-loop ``w`` is control flow only (everything here is detached).
+
+    (r4 experiment, measured and REVERTED: a gather-free "record blindly,
+    stop at the row cap" accept for all-opaque scenes ran 364 vs 232 ms on
+    the NEE bench line — the in-loop alpha-budget early stop, which ends
+    the walk at the first opaque blocker, is worth far more than the
+    removed per-candidate albedo gather.  tools/PERF_NOTES.md r4.)
     """
 
     def accept(state, leaf_value, face_id, uv, t_world, voxel_pos, voxel_size,
