@@ -58,18 +58,16 @@ def cmd_render(args):
     scene, camera = _build_scene(args)
     scene = dataclasses.replace(scene, sun_sampling=sun_sampling_from_name(args.sun))
     es = getattr(args, "emitter_sampling", "scene")
-    if es == "one":
+    if es in ("one", "one_block", "all"):
         from .models.emitters import build_emitter_table
-        from .models.scene import EmitterSampling
 
         em = scene.emitters
         if em is None:
             em = build_emitter_table(
                 scene.octree, scene.leaf_material, scene.materials, scene.models
             )
-        scene = dataclasses.replace(
-            scene, emitter_sampling=EmitterSampling.ONE, emitters=em
-        )
+        # strategy names ARE the EmitterSampling values (models/scene.py)
+        scene = dataclasses.replace(scene, emitter_sampling=es, emitters=em)
     elif es == "none":
         from .models.scene import EmitterSampling
 
@@ -191,10 +189,12 @@ def main(argv=None):
     r.add_argument(
         "--emitter-sampling",
         default="scene",
-        choices=["scene", "none", "one"],
+        choices=["scene", "none", "one", "one_block", "all"],
         help="block-light NEE strategy (scene/mod.rs:39-57): 'one' samples one "
-        "emissive leaf per diffuse bounce (models/emitters.py), 'none' "
-        "disables it, 'scene' keeps the scene's own default",
+        "face of one emissive leaf per diffuse bounce, 'one_block' sums all "
+        "faces of one leaf, 'all' sums all faces of every leaf "
+        "(models/emitters.py), 'none' disables it, 'scene' keeps the "
+        "scene's own default",
     )
     r.add_argument("--checkpoint", default="")
     r.add_argument("--resume", default="")

@@ -1,9 +1,22 @@
 """Emissive-leaf table for next-event estimation on block lights.
 
-``EmitterSampling.ONE`` semantics (this framework's definition — the
-reference DECLARES the strategy enum but never implements the sampling,
-``/root/reference/src/scene/mod.rs:39-57``, ``src/ray/path_tracer.rs:217-221``;
-implementing it is a deliberate beat-the-reference extension, VERDICT r3 #6):
+``EmitterSampling.{ONE,ONE_BLOCK,ALL}`` semantics (this framework's
+definitions — the reference DECLARES the strategy enum but never implements
+the sampling, ``/root/reference/src/scene/mod.rs:39-57``,
+``src/ray/path_tracer.rs:217-221``; implementing them is a deliberate
+beat-the-reference extension, VERDICT r3 #6):
+
+- ``ONE`` ("sample a single face"): pick one emitter uniformly, importance-
+  sample ONE of its 3 toward faces (details below);
+- ``ONE_BLOCK`` ("sample all the faces on a single emitter block"): pick one
+  emitter uniformly, sum the 3 toward-face contributions (one sampled point
+  each, ``toward_face_sample``), each with inv_pdf = E * size^2;
+- ``ALL`` ("sample all faces on all emitter blocks"): deterministic sum of
+  the per-block 3-face estimate over EVERY table entry (a ``lax.scan``
+  over emitters; cost grows linearly in emitter count — the strategy the
+  reference's own description implies).
+
+``ONE`` estimator detail:
 
 - at scene build, every emissive leaf cell (material emittance > eps) is
   collected into a flat table (min corner, size, material);
@@ -118,6 +131,38 @@ def sample_emitter_point(em: "EmitterTable", p, u_pick, u1, u2):
     ne = jnp.where(sel_axis, (2.0 * hi - 1.0)[:, None], 0.0)
     inv_pdf = jnp.float32(e) * size * size * total / w_a
     return dict(q=q, ne=ne, mat=mat, uv=jnp.stack([a, b], -1), inv_pdf=inv_pdf)
+
+
+def toward_face_sample(pos, size, p, axis: int, u1, u2):
+    """Point on the emitter face of static ``axis`` oriented toward ``p``.
+
+    The building block of ``EmitterSampling.ONE_BLOCK``/``ALL`` ("sample all
+    the faces on a single emitter block" / "on all emitter blocks",
+    ``/root/reference/src/scene/mod.rs:49-57`` — declared there, implemented
+    here): for a convex cell exactly the 3 faces whose axis-sign matches the
+    cell→p direction can ever contribute, so summing the per-axis toward
+    faces IS the full-surface sum.  Point pdf on the face is uniform
+    (1/size²); ``u1``/``u2`` are the in-face coordinates.
+
+    pos: (B, 3) cell min corner; size: (B,); p: (B, 3) shading point.
+    Returns (q (B,3), ne (B,3) outward normal, uv (B,2)).
+    """
+    import jax.numpy as jnp
+
+    center_ax = pos[:, axis] + 0.5 * size
+    hi = (p[:, axis] - center_ax > 0.0).astype(jnp.float32)
+    onehot = jnp.arange(3, dtype=jnp.int32)[None, :]
+    sel_axis = onehot == axis
+    sel_1 = onehot == (axis + 1) % 3
+    sel_2 = onehot == (axis + 2) % 3
+    coord = (
+        sel_axis * (hi * size)[:, None]
+        + sel_1 * (u1 * size)[:, None]
+        + sel_2 * (u2 * size)[:, None]
+    )
+    q = pos + coord
+    ne = jnp.where(sel_axis, (2.0 * hi - 1.0)[:, None], 0.0)
+    return q, ne, jnp.stack([u1, u2], -1)
 
 
 def leaf_emissive_material(leaf_values: np.ndarray, leaf_material, materials,

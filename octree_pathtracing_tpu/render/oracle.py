@@ -431,6 +431,16 @@ def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
     ne = np.zeros(3)
     ne[axis] = 2.0 * hi - 1.0
 
+    inv_pdf = e * size * size * total / w_a
+    return _emitter_point_contrib(
+        sc, hitpoint, n, albedo, cur_mat, q, ne, mat_e, a, b, inv_pdf
+    )
+
+
+def _emitter_point_contrib(sc, hitpoint, n, albedo, cur_mat, q, ne, mat_e, a, b,
+                           inv_pdf):
+    """Area-form NEE contribution of one sampled emitter point (scalar twin
+    of ``pathtracer.py::em_face_contrib``)."""
     to_q = q - hitpoint
     dist = np.linalg.norm(to_q)
     if dist < EPSILON:
@@ -444,8 +454,55 @@ def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
     albedo_e = _sample_atlas(sc, sc["texture_index"][mat_e], a, b)
     l_e = albedo_e[:3] * albedo_e[:3] * sc["emittance"][mat_e]
     geom = cos_s * cos_e / max(dist * dist, EPSILON) / PI
-    inv_pdf = e * size * size * total / w_a
     return albedo[:3] * l_e * att[:3] * (geom * inv_pdf * att[3])
+
+
+def _emitter_block_faces(sc, hitpoint, n, albedo, cur_mat, idx, u1, u2,
+                         pick_factor):
+    """Sum of the 3 toward-face contributions of emitter block ``idx``
+    (scalar twin of the ONE_BLOCK / ALL per-block sum; face enumeration spec
+    in ``models/emitters.py::toward_face_sample``)."""
+    em = sc["emitters"]
+    pos = em["pos"][idx]
+    size = em["size"][idx]
+    mat_e = int(em["mat"][idx])
+    out = np.zeros(3)
+    for axis in range(3):
+        hi = 1.0 if hitpoint[axis] - (pos[axis] + 0.5 * size) > 0.0 else 0.0
+        ax1, ax2 = (axis + 1) % 3, (axis + 2) % 3
+        q = np.asarray(pos, np.float64).copy()
+        q[axis] += hi * size
+        q[ax1] += u1 * size
+        q[ax2] += u2 * size
+        ne = np.zeros(3)
+        ne[axis] = 2.0 * hi - 1.0
+        out += _emitter_point_contrib(
+            sc, hitpoint, n, albedo, cur_mat, q, ne, mat_e, u1, u2,
+            pick_factor * size * size,
+        )
+    return out
+
+
+def _emitter_nee_strategy(sc, hitpoint, n, albedo, u, cur_mat):
+    """Dispatch the emitter NEE estimator by strategy (scalar twin of the
+    ``_shade`` block; ONE_BLOCK/ALL semantics per scene/mod.rs:49-57)."""
+    from ..ops.shading import U_EM_PICK, U_EM1, U_EM2
+
+    es = sc["emitter_sampling"]
+    if es == EmitterSampling.ONE:
+        return _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat)
+    e = sc["emitters"]["pos"].shape[0]
+    if es == EmitterSampling.ONE_BLOCK:
+        idx = min(int(u[U_EM_PICK] * e), e - 1)
+        return _emitter_block_faces(
+            sc, hitpoint, n, albedo, cur_mat, idx, u[U_EM1], u[U_EM2], float(e)
+        )
+    out = np.zeros(3)  # ALL: deterministic sum over every block
+    for idx in range(e):
+        out += _emitter_block_faces(
+            sc, hitpoint, n, albedo, cur_mat, idx, u[U_EM1], u[U_EM2], 1.0
+        )
+    return out
 
 
 def trace_path_oracle(sc, origin, direction, uniforms):
@@ -523,11 +580,11 @@ def trace_path_oracle(sc, origin, direction, uniforms):
                             throughput * albedo[:3] * direct * sc["sun_emittance"][:3]
                         )
             if (
-                sc["emitter_sampling"] == EmitterSampling.ONE
+                sc["emitter_sampling"] != EmitterSampling.NONE
                 and sc.get("emitters") is not None
                 and sc["emitters_enabled"]
             ):
-                radiance += throughput * _emitter_nee(
+                radiance += throughput * _emitter_nee_strategy(
                     sc, hitpoint, n, albedo, u, cur_mat
                 )
             d_new, w = _diffuse_dir(sc, n, u, strat.importance_sampling)

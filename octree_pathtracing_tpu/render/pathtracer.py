@@ -1017,57 +1017,104 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
             shadow_on[:, None], st["throughput"] * nee, 0.0
         )
 
-    # emitter NEE on diffuse bounces (EmitterSampling.ONE — this framework's
-    # implementation of the strategy the reference only declares,
-    # scene/mod.rs:39-57; estimator spec in models/emitters.py)
+    # emitter NEE on diffuse bounces (EmitterSampling.{ONE,ONE_BLOCK,ALL} —
+    # this framework's implementation of the strategies the reference only
+    # declares, scene/mod.rs:39-57; estimator spec in models/emitters.py:
+    # ONE importance-samples one face of one block, ONE_BLOCK sums the 3
+    # toward faces of one block, ALL sums the 3 toward faces of EVERY block)
     if (
-        scene.emitter_sampling == EmitterSampling.ONE
+        scene.emitter_sampling != EmitterSampling.NONE
         and scene.emitters is not None
         and scene.emitters_enabled
     ):
-        from ..models.emitters import sample_emitter_point
+        from ..models.emitters import sample_emitter_point, toward_face_sample
 
-        smp = sample_emitter_point(
-            scene.emitters,
-            jax.lax.stop_gradient(hitpoint),
-            u[:, U_EM_PICK],
-            u[:, U_EM1],
-            u[:, U_EM2],
-        )
-        to_q = jax.lax.stop_gradient(smp["q"]) - hitpoint
-        # sqrt(max(., eps^2)) keeps the backward finite on masked lanes where
-        # q == hitpoint (jnp.where's 0 * nan cotangent trap)
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(to_q * to_q, -1), EPSILON * EPSILON))
-        wi = to_q / dist[:, None]
-        cos_s = jnp.sum(wi * n, axis=-1)
-        cos_e = jnp.sum(-wi * smp["ne"], axis=-1)
-        em_on = sc["do_diff"] & can_scatter & (cos_s > 0.0) & (cos_e > 0.0)
-        # truncate the attenuation walk just short of the emitter so its own
-        # entry face never self-shadows
-        att = shadow_attenuation(
-            scene,
-            hitpoint,
-            wi,
-            st["cur_mat"],
-            active=em_on,
-            max_t=dist * (1.0 - 1e-3),
-        )
-        albedo_e = _albedo_at(scene, smp["mat"], smp["uv"])
-        l_e = (
-            albedo_e[:, :3]
-            * albedo_e[:, :3]
-            * scene.materials.emittance[smp["mat"]][:, None]
-        )
-        geom = cos_s * cos_e / jnp.maximum(dist * dist, EPSILON) / jnp.pi
-        contrib = (
-            albedo[:, :3]
-            * l_e
-            * att[:, :3]
-            * (geom * smp["inv_pdf"] * att[:, 3])[:, None]
-        )
-        radiance = radiance + jnp.where(
-            em_on[:, None], st["throughput"] * contrib, 0.0
-        )
+        em = scene.emitters
+        base_on = sc["do_diff"] & can_scatter
+        hp_sg = jax.lax.stop_gradient(hitpoint)
+
+        def em_face_contrib(q, ne, mat_e, uv, inv_pdf):
+            """Area-form NEE contribution of one sampled emitter point
+            (pre-throughput, masked to zero off-lobe / back-facing)."""
+            to_q = jax.lax.stop_gradient(q) - hitpoint
+            # sqrt(max(., eps^2)) keeps the backward finite on masked lanes
+            # where q == hitpoint (jnp.where's 0 * nan cotangent trap)
+            dist = jnp.sqrt(
+                jnp.maximum(jnp.sum(to_q * to_q, -1), EPSILON * EPSILON)
+            )
+            wi = to_q / dist[:, None]
+            cos_s = jnp.sum(wi * n, axis=-1)
+            cos_e = jnp.sum(-wi * ne, axis=-1)
+            on = base_on & (cos_s > 0.0) & (cos_e > 0.0)
+            # truncate the attenuation walk just short of the emitter so its
+            # own entry face never self-shadows
+            att = shadow_attenuation(
+                scene,
+                hitpoint,
+                wi,
+                st["cur_mat"],
+                active=on,
+                max_t=dist * (1.0 - 1e-3),
+            )
+            albedo_e = _albedo_at(scene, mat_e, uv)
+            l_e = (
+                albedo_e[:, :3]
+                * albedo_e[:, :3]
+                * scene.materials.emittance[mat_e][:, None]
+            )
+            geom = cos_s * cos_e / jnp.maximum(dist * dist, EPSILON) / jnp.pi
+            contrib = (
+                albedo[:, :3]
+                * l_e
+                * att[:, :3]
+                * (geom * inv_pdf * att[:, 3])[:, None]
+            )
+            return jnp.where(on[:, None], contrib, 0.0)
+
+        if scene.emitter_sampling == EmitterSampling.ONE:
+            smp = sample_emitter_point(
+                em, hp_sg, u[:, U_EM_PICK], u[:, U_EM1], u[:, U_EM2]
+            )
+            em_contrib = em_face_contrib(
+                smp["q"], smp["ne"], smp["mat"], smp["uv"], smp["inv_pdf"]
+            )
+        elif scene.emitter_sampling == EmitterSampling.ONE_BLOCK:
+            e_cnt = em.pos.shape[0]
+            idx = jnp.minimum(
+                (u[:, U_EM_PICK] * e_cnt).astype(jnp.int32), e_cnt - 1
+            )
+            pos_e, size_e, mat_e = em.pos[idx], em.size[idx], em.mat[idx]
+            inv_pdf = jnp.float32(e_cnt) * size_e * size_e
+            em_contrib = jnp.zeros_like(albedo[:, :3])
+            for axis in range(3):
+                q, ne, uv = toward_face_sample(
+                    pos_e, size_e, hp_sg, axis, u[:, U_EM1], u[:, U_EM2]
+                )
+                em_contrib = em_contrib + em_face_contrib(
+                    q, ne, mat_e, uv, inv_pdf
+                )
+        else:  # EmitterSampling.ALL — one scan step per emitter block
+            e_cnt = em.pos.shape[0]
+            b_lanes = hitpoint.shape[0]
+
+            def _all_body(acc, i):
+                pos_e = jnp.broadcast_to(em.pos[i], (b_lanes, 3))
+                size_e = jnp.broadcast_to(em.size[i], (b_lanes,))
+                mat_e = jnp.broadcast_to(em.mat[i], (b_lanes,))
+                inv_pdf = size_e * size_e  # deterministic block sum: no pick factor
+                for axis in range(3):
+                    q, ne, uv = toward_face_sample(
+                        pos_e, size_e, hp_sg, axis, u[:, U_EM1], u[:, U_EM2]
+                    )
+                    acc = acc + em_face_contrib(q, ne, mat_e, uv, inv_pdf)
+                return acc, None
+
+            em_contrib, _ = jax.lax.scan(
+                _all_body,
+                jnp.zeros_like(albedo[:, :3]),
+                jnp.arange(e_cnt, dtype=jnp.int32),
+            )
+        radiance = radiance + st["throughput"] * em_contrib
 
     new_origin = hitpoint + sc["new_dir"] * OFFSET
     upd = can_scatter

@@ -120,6 +120,58 @@ def test_emitter_nee_matches_brute_force_mean():
     assert np.abs(img_nee - img_bsdf).mean() < 0.6 * img_bsdf.mean()
 
 
+def test_emitter_one_block_and_all_oracle_parity():
+    """ONE_BLOCK / ALL (scene/mod.rs:49-57, declared-only there) match the
+    scalar oracle lane-for-lane."""
+    scene, cam = emissive_room_scene(depth=3)
+    origins, dirs = pixel_grid_rays(cam, 4, 3)
+    u = draw_uniforms(jax.random.PRNGKey(23), origins.shape[0], n_bounces=2)
+    u_np = np.asarray(u, np.float64)
+    o_np, d_np = np.asarray(origins, np.float64), np.asarray(dirs, np.float64)
+
+    for strat in (EmitterSampling.ONE_BLOCK, EmitterSampling.ALL):
+        sc_j = dataclasses.replace(scene, emitter_sampling=strat)
+        got = np.asarray(trace_paths(sc_j, origins, dirs, u))
+        assert np.isfinite(got).all() and got.mean() > 1e-4, strat
+        sc = scene_to_numpy(sc_j)
+        bad = 0
+        worst = None
+        for i in range(origins.shape[0]):
+            expect = trace_path_oracle(sc, o_np[i], d_np[i], u_np[i])
+            if not np.allclose(got[i], expect, rtol=2e-3, atol=5e-3):
+                bad += 1
+                worst = (i, got[i], expect)
+        assert bad == 0, (strat, bad, worst)
+
+
+def test_emitter_strategy_means_agree_and_all_is_lowest_variance():
+    """The three estimators integrate the same direct light: their mean
+    images agree, and ALL (deterministic block sum) has the least per-pixel
+    noise at equal spp."""
+    scene, cam = emissive_room_scene(depth=3)
+    origins, dirs = pixel_grid_rays(cam, 6, 6)
+    b = origins.shape[0]
+
+    def mean_img(strat, spp, seed):
+        sc = dataclasses.replace(scene, emitter_sampling=strat)
+        f = jax.jit(lambda o, d, u: trace_paths(sc, o, d, u))
+        acc = np.zeros((b, 3))
+        for k in range(spp):
+            u = draw_uniforms(jax.random.PRNGKey(seed + k), b, n_bounces=2)
+            acc += np.asarray(f(origins, dirs, u))
+        return acc / spp
+
+    ref = mean_img(EmitterSampling.ALL, 48, 0)  # near-noiseless reference
+    img_one = mean_img(EmitterSampling.ONE, 8, 500)
+    img_blk = mean_img(EmitterSampling.ONE_BLOCK, 8, 700)
+    img_all = mean_img(EmitterSampling.ALL, 8, 900)
+    for name, img in [("one", img_one), ("one_block", img_blk), ("all", img_all)]:
+        assert abs(img.mean() - ref.mean()) / ref.mean() < 0.12, (name, img.mean(), ref.mean())
+    err_one = np.abs(img_one - ref).mean()
+    err_all = np.abs(img_all - ref).mean()
+    assert err_all < 0.7 * err_one, (err_all, err_one)
+
+
 def test_emitter_nee_gradients_flow():
     """Emittance and atlas gradients must flow through the NEE term (the
     emitter's own texels light the scene differentiably)."""
