@@ -58,6 +58,12 @@ class Scene:
     # static: True when some model has quad geometry (enables the
     # quad-refinement + retry path in the integrator).
     has_quad_models: bool = False
+    # static: True when every reachable texel alpha is exactly 1 (and no quad
+    # models), so any shadow-walk surface is a total blocker: the stateful
+    # multi-surface walk reduces to ONE plain first-hit traversal + a
+    # single-surface differentiable recompute (bit-identical values AND
+    # gradients — see render/pathtracer.shadow_attenuation).
+    shadow_binary: bool = False
 
     def tree_flatten(self):
         return (
@@ -76,6 +82,7 @@ class Scene:
             self.f_sub_surface,
             self.opaque_only,
             self.has_quad_models,
+            self.shadow_binary,
         )
 
     @classmethod
@@ -161,7 +168,7 @@ def make_scene(
         kwargs["has_quad_models"] = bool(
             np.any((np.asarray(models.flags) & FLAG_SIMPLE) == 0)
         )
-    if "opaque_only" not in kwargs:
+    if "opaque_only" not in kwargs or "shadow_binary" not in kwargs:
         # The traversal's accept callback is only needed when some leaf could
         # be rejected: an alpha-cutout texel (alpha <= eps within a texture,
         # Cuboid::intersect_texture semantics cuboid.rs:73-90) or a quad-model
@@ -173,8 +180,15 @@ def make_scene(
         min_alpha = atlas_np[..., 3].reshape(atlas_np.shape[0], -1).min(axis=1)
         tex_idx = np.asarray(materials.texture_index)
         m_min_alpha = min_alpha[np.clip(tex_idx, 0, len(min_alpha) - 1)]
-        kwargs["opaque_only"] = bool(np.all(m_min_alpha > 5e-8)) and not kwargs.get(
-            "has_quad_models", False
+        no_quads = not kwargs.get("has_quad_models", False)
+        kwargs.setdefault(
+            "opaque_only", bool(np.all(m_min_alpha > 5e-8)) and no_quads
+        )
+        # stronger predicate: alpha EXACTLY 1 everywhere means any shadow
+        # surface is a total blocker (u8 255 -> 1.0 exactly), enabling the
+        # single-traversal binary shadow walk
+        kwargs.setdefault(
+            "shadow_binary", bool(np.all(m_min_alpha >= 1.0 - 1e-7)) and no_quads
         )
     if (
         kwargs.get("emitter_sampling", EmitterSampling.NONE) != EmitterSampling.NONE

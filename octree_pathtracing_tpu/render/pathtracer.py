@@ -162,10 +162,41 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
     ``max_t``: optional (B,) world-space distance cap — surfaces at or beyond
     it don't attenuate (emitter NEE: the light's own entry face must not
     shadow itself).  ``None`` (the sun walk) records no t and pays nothing.
+
+    ``scene.shadow_binary`` (every texel alpha exactly 1, no quad models):
+    the first recorded surface always zeroes the alpha budget, so the
+    stateful walk records exactly one surface and stops — replaced by ONE
+    plain first-hit traversal (no in-loop albedo gather, no state carry) +
+    the same single-surface differentiable recompute.  Values AND gradients
+    are bit-identical to the stateful path; the loop body is the slim
+    primary-ray body (measured on the NEE bench line, tools/PERF_NOTES r4).
     """
     from .hit import make_shadow_accept_fn, shadow_state_init
 
     strict = scene.sun_sampling.strict_direct_light
+
+    if scene.shadow_binary:
+        from .hit import resolve_hit
+
+        o_walk = origins + dirs * OFFSET
+        res = _trace(scene, o_walk, dirs, active=active)
+        mat, uv, _, t_hit = resolve_hit(scene, o_walk, dirs, res)
+        blocked = res.hit
+        if max_t is not None:
+            blocked = blocked & (t_hit < max_t)
+        albedo = _albedo_at(scene, mat, uv)
+        mult = 1.0 - albedo[:, 3]
+        att_rgb = jnp.where(
+            blocked[:, None],
+            albedo[:, :3] * albedo[:, 3:4] + mult[:, None],
+            1.0,
+        )
+        w = jnp.where(blocked, mult, 1.0)
+        if strict:
+            ior_change = scene.materials.ior[cur_mat] != scene.materials.ior[mat]
+            w = jnp.where(blocked & ior_change, 0.0, w)
+        return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
+                             strict)
 
     def builder(scene_sg, o_sg, d_sg):
         return make_shadow_accept_fn(scene_sg, o_sg, d_sg, strict)
@@ -199,9 +230,15 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
         w = jnp.where(upd, new_w, w)
         cm = jnp.where(upd, mat, cm)
 
-    # analytic primitives block sun rays too: the nearest prim surface
-    # contributes one attenuation factor (spec shared with the oracle; a
-    # translucent prim behind another prim is not re-marched)
+    return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
+                         strict)
+
+
+def _shadow_prims(scene: Scene, origins, dirs, cur_mat, att_rgb, w, max_t,
+                  strict: bool):
+    """Fold analytic primitives into a shadow attenuation: the nearest prim
+    surface contributes one attenuation factor (spec shared with the oracle;
+    a translucent prim behind another prim is not re-marched)."""
     if scene.prims is not None:
         p_hit, p_t, p_mat, p_uv, _ = _prim_hit(scene, origins + dirs * OFFSET, dirs)
         if max_t is not None:

@@ -60,6 +60,39 @@ def test_sun_sampling_high_quality():
     _run_parity(scene, cam, 8, 6, seed=7)
 
 
+def test_shadow_binary_fastpath_matches_stateful():
+    """For all-opaque scenes the binary shadow walk (one plain traversal +
+    single-surface recompute) must equal the stateful multi-surface walk
+    bit-for-bit — values and gradients (render/pathtracer.shadow_attenuation)."""
+    import dataclasses
+
+    scene, cam = cornell_scene(depth=4)
+    assert scene.shadow_binary  # solid textures: every texel alpha == 1
+    scene = dataclasses.replace(scene, sun_sampling=SunSampling.high_quality())
+    scene_slow = dataclasses.replace(scene, shadow_binary=False)
+    origins, dirs = pixel_grid_rays(cam, 8, 6)
+    u = draw_uniforms(jax.random.PRNGKey(9), origins.shape[0], n_bounces=3)
+
+    fast = np.asarray(trace_paths(scene, origins, dirs, u))
+    slow = np.asarray(trace_paths(scene_slow, origins, dirs, u))
+    np.testing.assert_array_equal(fast, slow)
+
+    from octree_pathtracing_tpu.parallel.shard import apply_params
+
+    params = {"atlas": scene.atlas, "emittance": scene.materials.emittance}
+
+    def loss(p, sc):
+        return jnp.mean(trace_paths(apply_params(sc, p), origins, dirs, u))
+
+    g_fast = jax.grad(loss)(params, scene)
+    g_slow = jax.grad(loss)(params, scene_slow)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_fast[k]), np.asarray(g_slow[k]), rtol=1e-6, atol=1e-8
+        )
+    assert float(jnp.abs(g_fast["atlas"]).sum()) > 0.0
+
+
 def test_branch_replication_equivalence():
     """trace_paths_branched == mean_k trace_paths(uniforms[:, k]) exactly:
     the primary traversal is deterministic, so replicating the first hit is
