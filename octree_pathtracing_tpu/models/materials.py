@@ -82,6 +82,52 @@ def make_material_table(materials: list[dict]) -> MaterialTable:
     )
 
 
+def gather_rows(m: MaterialTable, mat):
+    """Fetch every per-material scalar of ``mat`` (B,) in ONE row-gather.
+
+    The shading path otherwise issues 7-8 separate (B,) gathers
+    (metalness/specular/roughness/emittance/ior/flags/texture_index), each
+    paying the fixed per-gather-op cost (tools/PERF_NOTES.md gather model:
+    row-rate-bound, row width free).  The (M, 7) pack is built at trace time
+    with ``jnp.stack`` — M is tiny, and the stack's VJP routes cotangents
+    back to the differentiable leaves, so ``emittance`` stays trainable.
+    Int/flag fields ride as f32 bitcasts (a gather copies bits, never
+    computes).  Returns a dict of (B,) columns, values bit-identical to the
+    per-field gathers.
+    """
+    from jax import lax
+
+    def fi(x):
+        return lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+    pk = jnp.stack(
+        [
+            m.ior,
+            m.specular,
+            m.emittance,
+            m.roughness,
+            m.metalness,
+            fi(m.flags),
+            fi(m.texture_index),
+        ],
+        axis=1,
+    )  # (M, 7)
+    row = pk[mat]  # (B, 7) — the single gather
+
+    def ii(c):
+        return lax.bitcast_convert_type(c, jnp.int32)
+
+    return dict(
+        ior=row[:, 0],
+        specular=row[:, 1],
+        emittance=row[:, 2],
+        roughness=row[:, 3],
+        metalness=row[:, 4],
+        flags=ii(row[:, 5]).astype(jnp.uint32),
+        texture_index=ii(row[:, 6]),
+    )
+
+
 def air() -> dict:
     """Material id 0 (``material.rs:104-113``)."""
     return dict(ior=DEFAULT_IOR, flags=0, texture_index=0)

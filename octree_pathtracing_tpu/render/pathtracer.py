@@ -176,6 +176,7 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
     strict = scene.sun_sampling.strict_direct_light
 
     if scene.shadow_binary:
+        from ..models.materials import gather_rows
         from .hit import resolve_hit
 
         o_walk = origins + dirs * OFFSET
@@ -184,7 +185,10 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
         blocked = res.hit
         if max_t is not None:
             blocked = blocked & (t_hit < max_t)
-        albedo = _albedo_at(scene, mat, uv)
+        mrow = gather_rows(scene.materials, mat)
+        albedo = sample_atlas(
+            scene.atlas, mrow["texture_index"], uv[:, 0], uv[:, 1]
+        )
         mult = 1.0 - albedo[:, 3]
         att_rgb = jnp.where(
             blocked[:, None],
@@ -193,7 +197,7 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
         )
         w = jnp.where(blocked, mult, 1.0)
         if strict:
-            ior_change = scene.materials.ior[cur_mat] != scene.materials.ior[mat]
+            ior_change = scene.materials.ior[cur_mat] != mrow["ior"]
             w = jnp.where(blocked & ior_change, 0.0, w)
         return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
                              strict)
@@ -887,7 +891,8 @@ def sky_radiance(scene: Scene, dirs, bounce0_mask, specular_mask):
     )
 
 
-def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
+def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask,
+                 mrow=None):
     """Single-lobe scatter decision + outgoing ray for a resolved hit.
 
     The shared core of the recursive integrator (path_tracer.rs:64-119 lobe
@@ -898,15 +903,22 @@ def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
       new_dir (B,3), tp_mult (B,3) [throughput multiplier], enters (B,)
       [lane enters the hit material], clears_specular (B,), emit_rgb (B,3)
       [emitted radiance, pre-throughput, already lobe-masked].
+
+    ``mrow``: optional pre-fetched material row (``materials.gather_rows``) —
+    the caller's single row-gather replaces the 6 per-field gathers below.
     """
     m = scene.materials
     strat = scene.sun_sampling
     alpha = albedo[:, 3]
-    metal = m.metalness[mat]
-    spec = m.specular[mat]
-    rough = m.roughness[mat]
-    emit = m.emittance[mat]
-    ior1 = m.ior[mat]
+    if mrow is None:
+        from ..models.materials import gather_rows
+
+        mrow = gather_rows(m, mat)
+    metal = mrow["metalness"]
+    spec = mrow["specular"]
+    rough = mrow["roughness"]
+    emit = mrow["emittance"]
+    ior1 = mrow["ior"]
     ior2 = m.ior[cur_mat]
 
     do_metal = (metal > EPSILON) & (u[:, U_METAL] < metal)
@@ -931,7 +943,7 @@ def lobe_scatter(scene: Scene, u, d_in, n, albedo, mat, cur_mat, bounce0_mask):
     diff_dir, diff_w = diffuse_dir_and_weight(n, scene.sun, u, strat.importance_sampling)
     spec_dir = specular_reflect_dir(d_in, n, rough, u)
 
-    refractive = (m.flags[mat] & FLAG_REFRACTIVE) != 0
+    refractive = (mrow["flags"] & FLAG_REFRACTIVE) != 0
     ratio = ior1 / ior2
     cos_theta = -jnp.sum(d_in * n, axis=-1)
     radicand = 1.0 - ratio * ratio * (1.0 - cos_theta * cos_theta)
@@ -1022,12 +1034,20 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
         hit_uv = jnp.where(use_p[:, None], p_uv, hit_uv)
         n = jnp.where(use_p[:, None], p_n, n)
         t_hit = jnp.where(use_p, p_t, t_hit)
+    from ..models.materials import gather_rows
+
     m = scene.materials
-    albedo = _albedo_at(scene, mat, hit_uv)
+    # one row-gather serves the albedo layer, the lobe fields, and the
+    # subsurface flag below (8 per-field gathers otherwise; PERF_NOTES
+    # gather model: fixed cost is per OP, row width is free)
+    mrow = gather_rows(m, mat)
+    albedo = sample_atlas(
+        scene.atlas, mrow["texture_index"], hit_uv[:, 0], hit_uv[:, 1]
+    )
     hitpoint = st["origin"] + st["dir"] * t_hit[:, None]
 
     sc = lobe_scatter(
-        scene, u, st["dir"], n, albedo, mat, st["cur_mat"], bounce0
+        scene, u, st["dir"], n, albedo, mat, st["cur_mat"], bounce0, mrow=mrow
     )
     radiance = radiance + jnp.where(
         can_scatter[:, None], st["throughput"] * sc["emit_rgb"], 0.0
@@ -1038,7 +1058,7 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
         sun_dir = random_sun_direction(scene.sun, u[:, U_SUN1], u[:, U_SUN2])
         front = jnp.sum(sun_dir * n, axis=-1) > 0.0
         sss = (
-            ((m.flags[mat] & FLAG_SUBSURFACE_SCATTER) != 0)
+            ((mrow["flags"] & FLAG_SUBSURFACE_SCATTER) != 0)
             & (u[:, U_SUBSURFACE] < scene.f_sub_surface)
         )
         shadow_on = sc["do_diff"] & can_scatter & (front | sss)
@@ -1093,11 +1113,14 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
                 active=on,
                 max_t=dist * (1.0 - 1e-3),
             )
-            albedo_e = _albedo_at(scene, mat_e, uv)
+            from ..models.materials import gather_rows
+
+            mrow_e = gather_rows(scene.materials, mat_e)
+            albedo_e = sample_atlas(
+                scene.atlas, mrow_e["texture_index"], uv[:, 0], uv[:, 1]
+            )
             l_e = (
-                albedo_e[:, :3]
-                * albedo_e[:, :3]
-                * scene.materials.emittance[mat_e][:, None]
+                albedo_e[:, :3] * albedo_e[:, :3] * mrow_e["emittance"][:, None]
             )
             geom = cos_s * cos_e / jnp.maximum(dist * dist, EPSILON) / jnp.pi
             contrib = (
