@@ -176,31 +176,9 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
     strict = scene.sun_sampling.strict_direct_light
 
     if scene.shadow_binary:
-        from ..models.materials import gather_rows
-        from .hit import resolve_hit
-
-        o_walk = origins + dirs * OFFSET
-        res = _trace(scene, o_walk, dirs, active=active)
-        mat, uv, _, t_hit = resolve_hit(scene, o_walk, dirs, res)
-        blocked = res.hit
-        if max_t is not None:
-            blocked = blocked & (t_hit < max_t)
-        mrow = gather_rows(scene.materials, mat)
-        albedo = sample_atlas(
-            scene.atlas, mrow["texture_index"], uv[:, 0], uv[:, 1]
-        )
-        mult = 1.0 - albedo[:, 3]
-        att_rgb = jnp.where(
-            blocked[:, None],
-            albedo[:, :3] * albedo[:, 3:4] + mult[:, None],
-            1.0,
-        )
-        w = jnp.where(blocked, mult, 1.0)
-        if strict:
-            ior_change = scene.materials.ior[cur_mat] != mrow["ior"]
-            w = jnp.where(blocked & ior_change, 0.0, w)
-        return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
-                             strict)
+        res = _trace(scene, origins + dirs * OFFSET, dirs, active=active)
+        return _binary_att_from_res(scene, origins, dirs, res, cur_mat, max_t,
+                                    strict)
 
     def builder(scene_sg, o_sg, d_sg):
         return make_shadow_accept_fn(scene_sg, o_sg, d_sg, strict)
@@ -234,6 +212,33 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
         w = jnp.where(upd, new_w, w)
         cm = jnp.where(upd, mat, cm)
 
+    return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
+                         strict)
+
+
+def _binary_att_from_res(scene: Scene, origins, dirs, res, cur_mat, max_t,
+                         strict: bool):
+    """The binary shadow walk's attenuation recompute, given an already-run
+    first-hit traversal ``res`` (shared by the in-shade path above and the
+    whole-batch drained sun walk of the drain integrator)."""
+    from .hit import resolve_hit
+    from ..models.materials import gather_rows
+
+    o_walk = origins + dirs * OFFSET
+    mat, uv, _, t_hit = resolve_hit(scene, o_walk, dirs, res)
+    blocked = res.hit
+    if max_t is not None:
+        blocked = blocked & (t_hit < max_t)
+    mrow = gather_rows(scene.materials, mat)
+    albedo = sample_atlas(scene.atlas, mrow["texture_index"], uv[:, 0], uv[:, 1])
+    mult = 1.0 - albedo[:, 3]
+    att_rgb = jnp.where(
+        blocked[:, None], albedo[:, :3] * albedo[:, 3:4] + mult[:, None], 1.0
+    )
+    w = jnp.where(blocked, mult, 1.0)
+    if strict:
+        ior_change = scene.materials.ior[cur_mat] != mrow["ior"]
+        w = jnp.where(blocked & ior_change, 0.0, w)
     return _shadow_prims(scene, origins, dirs, cur_mat, att_rgb, w, max_t,
                          strict)
 
@@ -278,6 +283,13 @@ def _prim_hit(scene: Scene, origins, dirs):
 TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
 DRAIN_STEPS = 32  # phase-1 loop cap of the straggler drain (r4 sweep)
+# Per-bounce phase-1 caps.  Late bounces have few live lanes packed into 1-2
+# tiles: a drain round there costs its fixed ~2 ms (rank-select + a
+# DRAIN_BUF-lane resume traversal) to relieve almost nothing, so the cap is
+# raised until the drain simply never fires (bit-identical either way — k1
+# only changes scheduling).  Schedule measured on chip (tools/PERF_NOTES r4).
+DRAIN_K1_SCHEDULE = (DRAIN_STEPS, DRAIN_STEPS, DRAIN_STEPS, DRAIN_STEPS,
+                     DRAIN_STEPS)
 DRAIN_BUF = 4096  # straggler-buffer lanes per drain round
 
 
@@ -688,7 +700,14 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
                 sgf(st["dir"]),
                 None if is_first else sgf(st["active"]),
                 t,
+                k1=DRAIN_K1_SCHEDULE[min(bounce, len(DRAIN_K1_SCHEDULE) - 1)],
             )
+            # (A pooled whole-batch sun walk — hoisting the binary shadow
+            # walk out of the tiled shade into _traverse_drain — was built,
+            # proven bit-identical, and measured SLOWER: NEE fwd 80.8 ->
+            # 83.0 ms.  The duplicated whole-batch pre-shade gating costs
+            # more than pooled stragglers save; per-tile shadow rays are
+            # already pixel-coherent.  tools/PERF_NOTES.md r4.)
             res = res._replace(steps=jnp.broadcast_to(res.steps, (t,)))
             res_tiles = jax.tree.map(
                 lambda x: x.reshape((t, bt) + x.shape[1:])
