@@ -131,11 +131,11 @@ def main():
     fb_rays_s = rays / fb_s
 
     # Self-baseline (BASELINE.md "Throughput baseline derivation"): each
-    # round's driver artifact is the next round's floor — r4 ratchets to the
-    # BENCH_r03.json value 5.06e6 (round-2: 4.75e6; the round-1 constant
-    # 1.23e7 was never reproducible at the recorded protocol and is retired,
-    # VERDICT r2 weak #2).
-    baseline = float(os.environ.get("BENCH_BASELINE", 5.06e6)) if on_tpu else fb_rays_s
+    # round's driver artifact is the next round's floor — r5 ratchets to the
+    # BENCH_r04.json value 5.31e6 (r4: 5.06e6; r3: 4.75e6; the round-1
+    # constant 1.23e7 was never reproducible at the recorded protocol and is
+    # retired, VERDICT r2 weak #2).
+    baseline = float(os.environ.get("BENCH_BASELINE", 5.31e6)) if on_tpu else fb_rays_s
 
     diag = dict(
         backend=backend,

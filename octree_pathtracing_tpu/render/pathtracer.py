@@ -219,8 +219,10 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
 def _binary_att_from_res(scene: Scene, origins, dirs, res, cur_mat, max_t,
                          strict: bool):
     """The binary shadow walk's attenuation recompute, given an already-run
-    first-hit traversal ``res`` (shared by the in-shade path above and the
-    whole-batch drained sun walk of the drain integrator)."""
+    first-hit traversal ``res``.  Factored out of ``shadow_attenuation`` so a
+    pooled caller could reuse it (the r4 whole-batch sun-walk experiment did,
+    and was reverted as slower — tools/PERF_NOTES.md r4); the in-shade path
+    above is the only live caller."""
     from .hit import resolve_hit
     from ..models.materials import gather_rows
 
@@ -283,11 +285,13 @@ def _prim_hit(scene: Scene, origins, dirs):
 TILE_LANES = 4096  # measured sweet spot on TPU v5e (see BASELINE.md)
 
 DRAIN_STEPS = 32  # phase-1 loop cap of the straggler drain (r4 sweep)
-# Per-bounce phase-1 caps.  Late bounces have few live lanes packed into 1-2
-# tiles: a drain round there costs its fixed ~2 ms (rank-select + a
-# DRAIN_BUF-lane resume traversal) to relieve almost nothing, so the cap is
-# raised until the drain simply never fires (bit-identical either way — k1
-# only changes scheduling).  Schedule measured on chip (tools/PERF_NOTES r4).
+# Per-bounce phase-1 caps (k1 only changes scheduling — results are
+# bit-identical under any schedule).  The knob exists because late bounces
+# pack few live lanes into 1-2 tiles, where a drain round's fixed cost looked
+# wasteful — but raising late-bounce caps was tried on chip and REFUTED:
+# pooled drain resumes beat per-tile stragglers even at 6% occupancy
+# ((32,)x5 fwd+bwd 61.7 ms vs 63.6-64.3 for rising schedules,
+# tools/PERF_NOTES.md r4).  The measured best schedule is flat.
 DRAIN_K1_SCHEDULE = (DRAIN_STEPS, DRAIN_STEPS, DRAIN_STEPS, DRAIN_STEPS,
                      DRAIN_STEPS)
 DRAIN_BUF = 4096  # straggler-buffer lanes per drain round
@@ -1157,6 +1161,14 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
             em_contrib = em_face_contrib(
                 smp["q"], smp["ne"], smp["mat"], smp["uv"], smp["inv_pdf"]
             )
+        # ONE_BLOCK/ALL reuse the single (U_EM1, U_EM2) pair for all 3 faces
+        # of a block (and, in ALL, for every block): the per-face point
+        # samples of one pixel-bounce are fully correlated.  Intentional and
+        # unbiased (each face term is individually unbiased; correlation
+        # affects only variance) and what the oracle twin mirrors
+        # lane-for-lane.  Decorrelating (hashing the face axis / block index
+        # into the uniforms) is an available variance reduction — change the
+        # kernel and render/oracle.py together if taken.
         elif scene.emitter_sampling == EmitterSampling.ONE_BLOCK:
             e_cnt = em.pos.shape[0]
             idx = jnp.minimum(
