@@ -76,6 +76,10 @@ def test_emitter_nee_oracle_parity():
     sc = scene_to_numpy(scene)
     u_np = np.asarray(u, np.float64)
     o_np, d_np = np.asarray(origins, np.float64), np.asarray(dirs, np.float64)
+    # All 48 lanes must match (VERDICT r4 #8: the tolerance that allowed 2
+    # mismatching lanes was re-audited 2026-08-21 — zero lanes diverge at the
+    # current code state; the historical mismatches predate the r4 shadow-walk
+    # rework and no longer reproduce, so the allowance is retired).
     bad = 0
     worst = None
     for i in range(origins.shape[0]):
@@ -83,7 +87,7 @@ def test_emitter_nee_oracle_parity():
         if not np.allclose(got[i], expect, rtol=2e-3, atol=2e-3):
             bad += 1
             worst = (i, got[i], expect)
-    assert bad <= 2, (bad, worst)
+    assert bad == 0, (bad, worst)
 
 
 def test_emitter_nee_matches_brute_force_mean():
