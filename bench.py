@@ -117,6 +117,35 @@ def main():
     _, live_nee = jax.jit(trace_paths_census)(scene_nee, origins, dirs, u)
     live_nee = int(np.asarray(jax.block_until_ready(live_nee)).sum())
 
+    # Stateful-walk diag line (VERDICT r4 #1): cutout/translucent terrain
+    # (leaf canopies with alpha holes + translucent water) forces
+    # shadow_binary=False AND opaque_only=False — the general 4-surface
+    # alpha walk per diffuse bounce plus accept-callback traversal, the
+    # configuration resource-pack worlds (leaves, glass) are in.  The r4
+    # NEE line above measures only the all-opaque binary specialization.
+    from octree_pathtracing_tpu.models import cutout_chunk_scene
+
+    scene_cut, cam_cut = cutout_chunk_scene(
+        depth=depth,
+        cache_dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+        ),
+    )
+    scene_cut = _dc.replace(scene_cut, sun_sampling=SunSampling.high_quality())
+    o_cut, d_cut = pixel_grid_rays(cam_cut, res, res)
+    params_cut = {
+        "atlas": scene_cut.atlas,
+        "emittance": scene_cut.materials.emittance,
+    }
+    fwd_cut = jax.jit(lambda s, o, d, uu: trace_paths(s, o, d, uu))
+    fwdbwd_cut = jax.jit(jax.grad(loss_fn))
+    jax.block_until_ready(fwd_cut(scene_cut, o_cut, d_cut, u))
+    jax.block_until_ready(fwdbwd_cut(params_cut, scene_cut, o_cut, d_cut, u))
+    cut_fwd_s = steady_state(fwd_cut, scene_cut, o_cut, d_cut, u)
+    cut_fb_s = steady_state(fwdbwd_cut, params_cut, scene_cut, o_cut, d_cut, u)
+    _, live_cut = jax.jit(trace_paths_census)(scene_cut, o_cut, d_cut, u)
+    live_cut = int(np.asarray(jax.block_until_ready(live_cut)).sum())
+
     # a "ray" = one traversal launch of one lane (primary or bounce),
     # the unit the reference's MAX_STEPS/bounce-cap envelope bounds.  The
     # NOMINAL convention counts lanes*bounces; the LIVE census counts only
@@ -166,6 +195,16 @@ def main():
         live_rays_per_s_fwdbwd=round(live_nee / nee_fb_s),
     )
     print("# " + json.dumps(nee_diag), file=sys.stderr)
+    cut_diag = dict(
+        scene="cutout-terrain+NEE(high_quality) [stateful walk]",
+        cut_fwd_ms=round(cut_fwd_s * 1e3, 1),
+        cut_fwdbwd_ms=round(cut_fb_s * 1e3, 1),
+        cut_rays_per_s_fwdbwd=round(rays / cut_fb_s),
+        rays_live=live_cut,
+        live_rays_per_s_fwdbwd=round(live_cut / cut_fb_s),
+        n_nodes=int(scene_cut.octree.n_nodes),
+    )
+    print("# " + json.dumps(cut_diag), file=sys.stderr)
     print(
         json.dumps(
             {

@@ -13,6 +13,8 @@ from .sun import Sun, SunSampling, make_sun, sky_color
 from .procedural import (
     analytic_sphere_scene,
     cornell_scene,
+    cutout_chunk_scene,
+    cutout_terrain_grid,
     emissive_room_scene,
     minecraft_chunk_scene,
     plant_scene,
@@ -48,5 +50,7 @@ __all__ = [
     "cornell_scene",
     "emissive_room_scene",
     "minecraft_chunk_scene",
+    "cutout_chunk_scene",
+    "cutout_terrain_grid",
     "plant_scene",
 ]

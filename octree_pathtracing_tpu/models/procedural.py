@@ -266,6 +266,118 @@ def minecraft_chunk_scene(depth: int = 5, seed: int = 0, cache_dir: str | None =
     return scene, camera
 
 
+def _cutout_leaf_texture(size=16, seed=3):
+    """Leaf-style cutout texture: alpha is exactly {0, 255} (Minecraft leaf
+    blocks), so surfaces are binary but the accept callback must alpha-test
+    every candidate and the shadow walk cannot take the all-opaque fast path."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 1] = rng.integers(120, 200, (size, size))
+    img[..., 0] = 30
+    img[..., 2] = 30
+    img[..., 3] = np.where(rng.random((size, size)) < 0.72, 255, 0)
+    return img
+
+
+def cutout_terrain_grid(depth: int, seed: int = 0) -> np.ndarray:
+    """``terrain_grid`` plus trees: opaque trunks and cutout leaf canopies.
+
+    The canopy blocks use an alpha-holed texture and the water pool is made
+    translucent, so scenes built from this grid have ``opaque_only=False``
+    AND ``shadow_binary=False`` — every traversal needs the accept callback
+    and every sun/emitter shadow ray takes the general stateful multi-surface
+    walk (``path_tracer.rs:458-483``), the configuration real resource-pack
+    worlds (leaves, glass) are in.
+    """
+    rng = np.random.default_rng(seed + 1000)
+    s = 1 << depth
+    TRUNK, LEAF = 6, 7
+    grid = terrain_grid(depth, seed)
+    # column heights recomputed the same way terrain_grid derives them:
+    # find the grass surface per column from the grid itself (material 1)
+    grass_y = np.argmax(grid[:, ::-1, :] == 1, axis=1)
+    surface = (s - 1 - grass_y).astype(np.int64)  # y of grass; s-1 if none
+    n_trees = max(2, s // 8)
+    tx = rng.integers(2, s - 3, n_trees)
+    tz = rng.integers(2, s - 3, n_trees)
+    th = rng.integers(3, max(4, s // 12) + 3, n_trees)
+    for x, z, h in zip(tx, tz, th):
+        y0 = surface[x, z] + 1
+        if y0 + h + 2 >= s:
+            continue
+        grid[x, y0 : y0 + h, z] = TRUNK
+        # canopy: a 3-5 wide leafy blob around the trunk top
+        r = int(rng.integers(1, 3))
+        xs = slice(max(0, x - r), min(s, x + r + 1))
+        zs = slice(max(0, z - r), min(s, z + r + 1))
+        ys = slice(y0 + h - 1, min(s, y0 + h + 2))
+        canopy = grid[xs, ys, zs]
+        canopy[canopy == 0] = LEAF
+        grid[xs, ys, zs] = canopy
+    return grid
+
+
+def cutout_chunk_scene(depth: int = 5, seed: int = 0, cache_dir: str | None = None):
+    """Cutout/translucent terrain: the bench scene for the STATEFUL shadow
+    walk (VERDICT r4 #1).  Same heightfield as ``minecraft_chunk_scene`` plus
+    trees with alpha-cutout leaf canopies and translucent water, so
+    ``shadow_binary`` / ``opaque_only`` are both False and the integrator runs
+    the configuration pack worlds take: accept-callback traversal + the
+    general multi-surface shadow walk."""
+    import os
+
+    s = 1 << depth
+    tree = None
+    cache_path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"cutout_d{depth}_s{seed}.npz")
+        if os.path.exists(cache_path):
+            from ..octree.node_pool import Octree
+
+            z = np.load(cache_path)
+            tree = Octree(z["mask"], z["data"], int(z["root"]), int(z["depth"]))
+    if tree is None:
+        tree = build_from_dense(cutout_terrain_grid(depth, seed))
+        if cache_path:
+            np.savez_compressed(
+                cache_path,
+                mask=np.asarray(tree.child_mask),
+                data=np.asarray(tree.child_data),
+                root=tree.root,
+                depth=tree.depth,
+            )
+
+    water = _solid_texture((50, 90, 220))
+    water[..., 3] = 150  # translucent: the shadow walk marches through it
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((60, 180, 60)),  # grass
+        _solid_texture((134, 96, 67)),  # dirt
+        _solid_texture((130, 130, 130)),  # stone
+        _solid_texture((255, 220, 120)),  # glowstone
+        water,
+        _solid_texture((90, 60, 30)),  # trunk
+        _cutout_leaf_texture(),  # leaves (alpha {0,255})
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2),
+        dict(texture_index=3),
+        dict(texture_index=4, emittance=6.0),
+        dict(texture_index=5, ior=1.33, specular=0.1, flags=FLAG_OPAQUE | FLAG_SOLID),
+        dict(texture_index=6),
+        dict(texture_index=7),
+    ]
+    scene = make_scene(tree, make_material_table(materials), build_atlas(textures))
+    assert not scene.opaque_only and not scene.shadow_binary
+    camera = Camera.look_at(
+        eye=(-s * 0.4, s * 0.8, -s * 0.4), center=(s * 0.5, s * 0.3, s * 0.5)
+    )
+    return scene, camera
+
+
 def emissive_room_scene(depth: int = 3):
     """Closed diffuse room lit ONLY by its emissive ceiling — the
     ``EmitterSampling.ONE`` validation scene (VERDICT r3 #6 done-criterion:

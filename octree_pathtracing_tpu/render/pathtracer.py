@@ -310,7 +310,8 @@ def _pack_hitres(r):
 
 
 def _traverse_drain(scene_sg, origins, dirs, active, t: int,
-                    k1: int = DRAIN_STEPS, margin: float = 1e-3):
+                    k1: int = DRAIN_STEPS, margin: float = 1e-3,
+                    accept_builder=None):
     """Tiled traversal with a straggler drain (all-opaque scenes).
 
     The census (tools/PERF_NOTES.md r4) shows each 4096-lane tile pays its
@@ -326,9 +327,15 @@ def _traverse_drain(scene_sg, origins, dirs, active, t: int,
     whole block is visibility-only and detached from AD (shading happens in
     a separate differentiable pass).
 
-    Requires no accept callback (``scene.opaque_only``); stateful walks
-    keep the single-phase path.  Returns a HitResult over the full batch
-    (``steps`` = summed loop iterations across phases).
+    ``accept_builder``: optional ``(origins, dirs) -> accept_fn`` for scenes
+    that need the STATELESS accept callback (alpha cutouts / quad models,
+    ``make_accept_fn``).  Restart-from-t stays exact under a stateless
+    accept: a re-encountered rejected candidate is re-rejected
+    deterministically (alpha/quad tests depend only on the candidate), and
+    accepted hits re-derive bit-identically.  Stateful accept walks (the
+    shadow march) use ``_shadow_walk_drain`` instead, which carries the
+    recorded-surface state across rounds.  Returns a HitResult over the
+    full batch (``steps`` = summed loop iterations across phases).
     """
     from ..ops.traversal import HitResult
 
@@ -342,6 +349,7 @@ def _traverse_drain(scene_sg, origins, dirs, active, t: int,
         o_, d_, a_ = xs
         r, rt_, unf_ = traverse_tree(
             tree, o_, d_, max_dst=MAX_DIST, active_mask=a_,
+            accept_fn=None if accept_builder is None else accept_builder(o_, d_),
             max_steps=k1, export_resume=True,
         )
         f_, i_ = _pack_hitres(r)
@@ -381,6 +389,9 @@ def _traverse_drain(scene_sg, origins, dirs, active, t: int,
             rows[:, 0:3],
             rows[:, 3:6],
             max_dst=MAX_DIST,
+            accept_fn=None
+            if accept_builder is None
+            else accept_builder(rows[:, 0:3], rows[:, 3:6]),
             active_mask=valid,
             t_start=rows[:, 6],
         )
@@ -696,6 +707,8 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
             # shade pass on the precomputed hits (mirrors _bounce_skip_fwd's
             # trace/shade split; traversal is detached so AD only sees the
             # differentiable _shade)
+            from .hit import make_accept_fn
+
             sgf = jax.lax.stop_gradient
             scene_sg = jax.tree.map(sgf, scene)
             res = _traverse_drain(
@@ -705,6 +718,9 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
                 None if is_first else sgf(st["active"]),
                 t,
                 k1=DRAIN_K1_SCHEDULE[min(bounce, len(DRAIN_K1_SCHEDULE) - 1)],
+                accept_builder=None
+                if scene.opaque_only
+                else (lambda o, d: make_accept_fn(scene_sg, o, d)),
             )
             # (A pooled whole-batch sun walk — hoisting the binary shadow
             # walk out of the tiled shade into _traverse_drain — was built,
@@ -789,12 +805,13 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     cap each tile's lockstep loop, pull the unfinished lanes across tile
     boundaries into a drain buffer, resume them via restart-from-t.
     Bit-identical results; measured -38% iterations on primary traversal
-    and -5% on the full fwd+bwd bench (PERF_NOTES r4).  Applies on
-    all-opaque plain-pool scenes in the compacted path (stateful accept
-    walks keep single-phase); quietly off otherwise, and off when
-    ``skip_dead`` is chosen — the two are alternative bounce strategies and
-    skip_dead measures faster for forward-only rendering while drain wins
-    differentiated (PERF_NOTES r4).
+    and -5% on the full fwd+bwd bench (PERF_NOTES r4).  Applies on plain
+    (non-brick) pools in the compacted path — including alpha-cutout /
+    quad-model scenes, whose stateless accept callback re-evaluates
+    deterministically across restart-from-t (r5); quietly off on brick
+    pools, and off when ``skip_dead`` is chosen — the two are alternative
+    bounce strategies and skip_dead measures faster for forward-only
+    rendering while drain wins differentiated (PERF_NOTES r4).
     """
     from ..octree.brick import BrickOctree
 
@@ -803,7 +820,6 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     drain = (
         drain
         and not skip_dead
-        and scene.opaque_only
         and not isinstance(scene.octree, BrickOctree)
     )
     if t <= 1 or b % t:

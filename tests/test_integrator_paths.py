@@ -99,3 +99,37 @@ def test_drain_matches_under_high_quality_sun():
     ref = np.asarray(trace_paths(scene, o, d, u, tiles=1))
     out = np.asarray(trace_paths(scene, o, d, u, tiles=4, drain=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_drain_accept_scenes_bit_identical():
+    """r5: the drain now covers accept-callback scenes (alpha cutouts, quad
+    models) — restart-from-t under a STATELESS accept re-rejects re-seen
+    candidates deterministically, so results must equal the single-phase
+    path bit-for-bit on both cutout and quad-model scenes."""
+    from octree_pathtracing_tpu.models import cutout_chunk_scene, plant_scene
+
+    for name, (scene, cam) in (
+        ("cutout", cutout_chunk_scene(depth=4)),
+        ("plant-quads", plant_scene(depth=3)),
+    ):
+        assert not scene.opaque_only, name
+        scene = dataclasses.replace(
+            scene, sun_sampling=SunSampling.high_quality()
+        )
+        origins, dirs = pixel_grid_rays(cam, 8, 8)
+        u = draw_uniforms(jax.random.PRNGKey(31), origins.shape[0],
+                          n_bounces=3)
+        ref = np.asarray(trace_paths(scene, origins, dirs, u, tiles=4,
+                                     drain=False))
+        old = pt.DRAIN_K1_SCHEDULE
+        try:
+            # tiny cap forces many drain rounds through the accept path
+            pt.DRAIN_K1_SCHEDULE = (6, 6, 6, 6, 6)
+            out = np.asarray(trace_paths(scene, origins, dirs, u, tiles=4,
+                                         drain=True))
+        finally:
+            pt.DRAIN_K1_SCHEDULE = old
+        np.testing.assert_array_equal(out, ref, err_msg=name)
+        out2 = np.asarray(trace_paths(scene, origins, dirs, u, tiles=4,
+                                      drain=True))
+        np.testing.assert_array_equal(out2, ref, err_msg=name + " default k1")

@@ -142,3 +142,20 @@ def test_sky_only():
     got = np.asarray(trace_paths(scene, origins, dirs, u))
     # every lane is sky: blue channel == 1.0 unless the sun disk adds more
     assert (got[:, 2] >= 1.0 - 1e-5).all()
+
+
+def test_cutout_terrain_stateful_walk_parity():
+    """Cutout/translucent terrain (leaf canopies with alpha holes, translucent
+    water) — the general stateful multi-surface shadow walk plus
+    accept-callback traversal, against the scalar oracle lane-for-lane.  This
+    is the configuration resource-pack worlds are in (path_tracer.rs:458-483
+    is the reference's default-quality mode); the bench's stateful-walk diag
+    line measures the same configuration at depth 9."""
+    import dataclasses
+
+    from octree_pathtracing_tpu.models import cutout_chunk_scene
+
+    scene, cam = cutout_chunk_scene(depth=4)
+    assert not scene.opaque_only and not scene.shadow_binary
+    scene = dataclasses.replace(scene, sun_sampling=SunSampling.high_quality())
+    _run_parity(scene, cam, 8, 6, seed=13, allowed_bad=0)
