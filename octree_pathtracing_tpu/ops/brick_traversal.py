@@ -174,7 +174,7 @@ def traverse_brick(
         if stateful:
             ok, user = accept_fn(s.user, *args, fresh=fresh)
             return ok, s._replace(user=user)
-        return accept_fn(*args), s
+        return accept_fn(*args, fresh=fresh), s
 
     # ---- tree phase (gathers) ----
     def tree_cond(st):

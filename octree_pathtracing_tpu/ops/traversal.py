@@ -97,6 +97,7 @@ class Carry(NamedTuple):
     stack_t: jnp.ndarray  # (S, B)
     status: jnp.ndarray  # (B,) int32
     reject: jnp.ndarray  # (B,) bool
+    cand: jnp.ndarray  # (B,) int32 — value word of the current leaf candidate
     step: jnp.ndarray  # () int32
     user: tuple  # accept_state pytree (possibly empty)
 
@@ -174,6 +175,7 @@ def _init(root, octree_scale, origins, directions, max_dst, stack_rows,
         stack_t=jnp.broadcast_to(zf[None, :], (stack_rows, b)) + 0,
         status=zi,
         reject=zi != 0,
+        cand=zi,
         step=jnp.int32(0),
         user=(),
     )
@@ -375,6 +377,13 @@ def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
         status = jnp.where(brick_hit, BRICK, status)
     status = jnp.where(dist_miss | pop_miss, MISS, status)
 
+    # the candidate's leaf word rides the carry: the accept path and the
+    # post-loop hit info read it from registers instead of re-gathering the
+    # (894k-row) node pool — one whole gather op per firing iteration saved
+    # (measured: the accept block multiplied per-iteration cost ~7x on a
+    # cutout scene, and the row re-fetch was the biggest line item)
+    cand = jnp.where(is_hit, value, s.cand)
+
     same_parent = do_adv & ~do_pop & (status == ACTIVE)
     return Carry(
         pos=pos,
@@ -389,6 +398,7 @@ def _examine(row, c: RayConstants, s: Carry, scale_base, brick_bit, act_mask,
         stack_t=stack_t,
         status=status,
         reject=jnp.where(active, False, s.reject),
+        cand=cand,
         step=s.step,
         user=s.user,
     ), same_parent
@@ -558,9 +568,8 @@ def traverse(
 
             def run_accept(s, fresh=fresh):
                 face, uu, vv, unmirrored_pos = _hit_info(consts, s)
-                leaf = _leaf_value(nodes_packed, consts, s)
                 args = (
-                    leaf.astype(_u32),
+                    s.cand.astype(_u32),  # carried candidate word: no re-gather
                     face,
                     jnp.stack([uu, vv], axis=-1),
                     s.t_min * inv_scale,
@@ -571,7 +580,7 @@ def traverse(
                     ok, user = accept_fn(s.user, *args, fresh=fresh)
                     s = s._replace(user=user)
                 else:
-                    ok = accept_fn(*args)
+                    ok = accept_fn(*args, fresh=fresh)
                 rej = fresh & ~ok
                 return s._replace(
                     status=jnp.where(rej, ACTIVE, s.status),
@@ -590,7 +599,7 @@ def traverse(
 
     hit = s.status == CANDIDATE
     face, uu, vv, unmirrored_pos = _hit_info(consts, s)
-    leaf = _leaf_value(nodes_packed, consts, s)
+    leaf = s.cand  # carried at hit time; saves the post-loop pool gather
     res = HitResult(
         hit=hit,
         t=jnp.where(hit, s.t_min * inv_scale, jnp.inf),

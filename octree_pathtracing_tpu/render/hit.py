@@ -69,14 +69,56 @@ def _quad_scan(scene: Scene, origins, dirs, leaf_value, voxel_pos, voxel_size):
     return found, t_world, jnp.stack([best_uu, best_vv], -1), mat, normal
 
 
+def _leaf_alpha_classes(scene: Scene):
+    """Per-leaf-value static alpha classes -> (rejectable, binary), (L,) bool.
+
+    ``rejectable[l]``: some texel of the leaf's material(s) has alpha <= eps
+    (or the leaf is a quad model), so the accept test could actually reject
+    it; anything else is auto-accepted without touching the atlas.
+    ``binary[l]``: every texel is alpha == 1 exactly and the model is a plain
+    cube face — a shadow-walk surface of this class is a TOTAL blocker whose
+    attenuation needs no texel fetch (the per-leaf generalization of
+    ``Scene.shadow_binary``, which is the all-leaves special case).
+
+    Tiny jnp reductions over the atlas/material tables — loop-invariant, so
+    XLA hoists them out of the traversal ``while_loop``.
+    """
+    from ..ops.texture import Atlas
+
+    data = scene.atlas.data if isinstance(scene.atlas, Atlas) else scene.atlas
+    layer_min = data[..., 3].reshape(data.shape[0], -1).min(axis=1)  # (T,)
+    tex = scene.materials.texture_index
+    m_min = layer_min[jnp.clip(tex, 0, layer_min.shape[0] - 1)]  # (M,)
+    if scene.models is None:
+        lm_min = m_min[scene.leaf_material]  # (L,)
+        return lm_min <= EPSILON, lm_min >= 1.0
+    m = scene.models
+    fm_min = m_min[m.face_material]  # (Mm, 6)
+    model_min = fm_min.min(axis=1)  # (Mm,)
+    simple = (m.flags & FLAG_SIMPLE) != 0  # (Mm,)
+    lv_min = model_min[m.leaf_model]  # (L,)
+    lv_simple = simple[m.leaf_model]
+    return (lv_min <= EPSILON) | ~lv_simple, (lv_min >= 1.0) & lv_simple
+
+
 def make_accept_fn(scene: Scene, origins, dirs):
     """Candidate acceptance inside the traversal loop: texel alpha > eps for
     cube faces; any accepted quad for quad models.  Returns None when the
-    scene is statically all-opaque cubes (no rejection possible)."""
+    scene is statically all-opaque cubes (no rejection possible).
+
+    Candidates whose leaf class is not rejectable (``_leaf_alpha_classes``)
+    are accepted without the atlas fetch, and the fetch itself runs under a
+    nested ``lax.cond`` that fires only when some FRESH candidate is
+    rejectable — on mixed scenes (solid terrain + cutout canopies) most
+    lockstep iterations then skip the whole test block.  Decisions are
+    bit-identical: a non-rejectable candidate's texel test is True by
+    construction of the class table."""
     if scene.opaque_only:
         return None
+    rejectable, _ = _leaf_alpha_classes(scene)
+    n_leaf = rejectable.shape[0]
 
-    def accept(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size):
+    def full_test(leaf_value, face_id, uv, voxel_pos, voxel_size):
         if scene.models is None:
             mat = _leaf_mat(scene, leaf_value)
             return _albedo(scene, mat, uv)[:, 3] > EPSILON
@@ -93,6 +135,19 @@ def make_accept_fn(scene: Scene, origins, dirs):
             scene, origins, dirs, leaf_value, voxel_pos, voxel_size
         )
         return jnp.where(simple, ok_simple, found)
+
+    def accept(leaf_value, face_id, uv, t_world, voxel_pos, voxel_size,
+               fresh=None):
+        lv = jnp.clip(leaf_value.astype(jnp.int32), 0, n_leaf - 1)
+        needed = rejectable[lv]
+        pred = needed if fresh is None else (needed & fresh)
+        ok_full = jax.lax.cond(
+            jnp.any(pred),
+            lambda _: full_test(leaf_value, face_id, uv, voxel_pos, voxel_size),
+            lambda _: jnp.ones_like(needed),
+            None,
+        )
+        return ok_full | ~needed
 
     return accept
 
@@ -176,13 +231,52 @@ def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
     removed per-candidate albedo gather.  tools/PERF_NOTES.md r4.)
     """
 
+    rejectable_tab, binary_tab = _leaf_alpha_classes(scene)
+    n_leaf = binary_tab.shape[0]
+
     def accept(state, leaf_value, face_id, uv, t_world, voxel_pos, voxel_size,
                fresh):
-        is_surface, mat, uu, vv = _surface_of_candidate(
-            scene, origins, dirs, leaf_value, face_id, uv, voxel_pos, voxel_size
-        )
-        is_surface = fresh & is_surface
-        alpha = _albedo(scene, mat, jnp.stack([uu, vv], -1))[:, 3]
+        # binary-class candidates (every texel alpha == 1, plain cube face —
+        # _leaf_alpha_classes) are total blockers: their surface attributes
+        # are the entry face's (mat from the tiny leaf/face tables, uv
+        # as-is) and alpha is exactly 1, so the atlas fetch + quad scan run
+        # under a nested cond that fires only when a NON-binary fresh
+        # candidate exists.  On mostly-solid worlds the walk then records
+        # its (usually single, terrain) blocker without touching the atlas.
+        # Bit-identical: for binary candidates the full path provably
+        # returns (True, same mat, same uv, 1.0).
+        lv = jnp.clip(leaf_value.astype(jnp.int32), 0, n_leaf - 1)
+        is_bin = binary_tab[lv]
+        if scene.models is None:
+            bmat = _leaf_mat(scene, leaf_value)
+        else:
+            mm = scene.models
+            model = mm.leaf_model[
+                jnp.clip(
+                    leaf_value.astype(jnp.int32), 0, mm.leaf_model.shape[0] - 1
+                )
+            ]
+            bmat = mm.face_material[model, jnp.clip(face_id, 0, 5)]
+        need = fresh & ~is_bin
+
+        def full(_):
+            is_surface, mat, uu, vv = _surface_of_candidate(
+                scene, origins, dirs, leaf_value, face_id, uv, voxel_pos,
+                voxel_size,
+            )
+            alpha = _albedo(scene, mat, jnp.stack([uu, vv], -1))[:, 3]
+            return is_surface, mat, uu, vv, alpha
+
+        def cheap(_):
+            z = uv[:, 0] * 0
+            return is_bin, bmat, z, z, z + 1.0
+
+        fs, fm, fu, fv, fa = jax.lax.cond(jnp.any(need), full, cheap, None)
+        is_surface = fresh & jnp.where(is_bin, True, fs)
+        mat = jnp.where(is_bin, bmat, fm)
+        uu = jnp.where(is_bin, uv[:, 0], fu)
+        vv = jnp.where(is_bin, uv[:, 1], fv)
+        alpha = jnp.where(is_bin, 1.0, fa)
         new_w = state["w"] * (1.0 - alpha)
         if strict:
             ior_change = (

@@ -67,6 +67,7 @@ def _merge_carry(mask_b, new: T.Carry, old: T.Carry) -> T.Carry:
         stack_t=jnp.where(mS, new.stack_t, old.stack_t),
         status=jnp.where(mask_b, new.status, old.status),
         reject=jnp.where(mask_b, new.reject, old.reject),
+        cand=jnp.where(mask_b, new.cand, old.cand),
         step=old.step,
         user=old.user,
     )

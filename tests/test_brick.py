@@ -132,7 +132,7 @@ def test_accept_fn_parity():
     grid, tree = random_scene(rng, 4, fill=0.25)
     origins, dirs = random_rays(rng, 16, 256)
 
-    def reject_low(leaf, face, uv, t, voxel_pos, voxel_size):
+    def reject_low(leaf, face, uv, t, voxel_pos, voxel_size, fresh=None):
         return leaf >= 5  # alpha-test stand-in: fall through leaves 1..4
 
     a = run_plain(tree, origins, dirs, accept_fn=reject_low)

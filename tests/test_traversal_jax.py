@@ -72,7 +72,7 @@ def test_accept_fn_skips_leaves():
     origins = np.array([[1.5, 1.5, -2.0]], np.float32)
     dirs = np.array([[0.0, 0.0, 1.0]], np.float32)
 
-    def reject_ones(leaf, face, uv, t, voxel_pos, voxel_size):
+    def reject_ones(leaf, face, uv, t, voxel_pos, voxel_size, fresh=None):
         return leaf != 1
 
     res = traverse(
