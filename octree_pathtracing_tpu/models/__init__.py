@@ -18,6 +18,7 @@ from .procedural import (
     emissive_room_scene,
     minecraft_chunk_scene,
     plant_scene,
+    scattered_lights_scene,
     sphere_scene,
     terrain_grid,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "emissive_room_scene",
     "minecraft_chunk_scene",
     "cutout_chunk_scene",
+    "scattered_lights_scene",
     "cutout_terrain_grid",
     "plant_scene",
 ]

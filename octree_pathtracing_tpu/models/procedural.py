@@ -420,6 +420,51 @@ def emissive_room_scene(depth: int = 3):
     return scene, camera
 
 
+def scattered_lights_scene(depth: int = 5, n_lights: int = 150, seed: int = 1):
+    """Closed dark room with ``n_lights`` small emissive blocks scattered over
+    the floor — the emitter-NEE *scale* scene (VERDICT r4 #4).  The camera
+    sits near one corner: the integrand is dominated by nearby lights, so a
+    uniform pick over the table wastes most samples on far lights while the
+    spatial mixture pick (``models/emitters.build_spatial_grid``) spends them
+    nearby.  Used by the variance test and the scattered-emitter bench."""
+    rng = np.random.default_rng(seed)
+    s = 1 << depth
+    grid = np.zeros((s, s, s), np.uint32)
+    W, L = 1, 2
+    grid[0, :, :] = W
+    grid[s - 1, :, :] = W
+    grid[:, 0, :] = W
+    grid[:, s - 1, :] = W
+    grid[:, :, 0] = W
+    grid[:, :, s - 1] = W
+    lx = rng.integers(1, s - 1, n_lights)
+    lz = rng.integers(1, s - 1, n_lights)
+    grid[lx, 1, lz] = L  # lights sit ON the floor (y=1)
+
+    tree = build_from_dense(grid)
+    textures = [
+        _solid_texture((255, 0, 255)),
+        _solid_texture((140, 140, 140)),
+        _solid_texture((255, 230, 180)),
+    ]
+    materials = [
+        air(),
+        dict(texture_index=1),
+        dict(texture_index=2, emittance=12.0),
+    ]
+    scene = make_scene(
+        tree,
+        make_material_table(materials),
+        build_atlas(textures),
+        sun=make_sun(altitude=-np.pi / 2),
+        emitter_sampling="one",
+    )
+    camera = Camera.look_at(
+        eye=(s * 0.12, s * 0.3, s * 0.12), center=(s * 0.45, s * 0.1, s * 0.45)
+    )
+    return scene, camera
+
+
 def plant_scene(depth: int = 3):
     """Quad-model + sun-NEE scene for sharding dry runs and integration tests:
     stone floor, a row of cross-plant quad models (non-simple block models),

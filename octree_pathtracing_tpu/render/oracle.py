@@ -112,11 +112,21 @@ def _emitters_np(scene):
     if getattr(scene, "emitters", None) is None:
         return None
     em = scene.emitters
-    return dict(
+    out = dict(
         pos=np.asarray(em.pos, np.float64),
         size=np.asarray(em.size, np.float64),
         mat=np.asarray(em.mat, np.int64),
+        grid_idx=None,
     )
+    if getattr(em, "grid_idx", None) is not None:
+        out.update(
+            grid_idx=np.asarray(em.grid_idx, np.int64),
+            grid_w=np.asarray(em.grid_w, np.float32),
+            grid_bits=int(em.grid_bits),
+            cell_size=float(em.cell_size),
+            lam=float(em.lam),
+        )
+    return out
 
 
 def _prim_merge(sc, origin, direction, h):
@@ -394,6 +404,37 @@ def _shadow_attenuation(sc, origin, direction, cur_mat, max_t=None):
     return att
 
 
+def _pick_emitter(em, hitpoint, u_pick):
+    """Scalar twin of ``models/emitters._spatial_pick``: supercell mixture
+    sampler (lam uniform floor + weighted candidate row) with the exact
+    realized pdf via membership; uniform over E when the table has no grid.
+    Returns (idx, 1/p_pick)."""
+    e = em["pos"].shape[0]
+    if em.get("grid_idx") is None:
+        return min(int(u_pick * e), e - 1), float(e)
+    g = 1 << em["grid_bits"]
+    lam = em["lam"]
+    cell = np.clip(
+        (np.asarray(hitpoint, np.float64) / em["cell_size"]).astype(np.int64),
+        0,
+        g - 1,
+    )
+    c = int((cell[0] * g + cell[1]) * g + cell[2])
+    gi = em["grid_idx"][c]
+    gw = em["grid_w"][c]
+    if u_pick < lam:
+        uu = min(max(u_pick / lam, 0.0), 1.0 - 1e-7)
+        idx = min(int(uu * e), e - 1)
+    else:
+        us = min(max((u_pick - lam) / (1.0 - lam), 0.0), 1.0 - 1e-7)
+        cdf = np.cumsum(gw.astype(np.float32))
+        j = min(int(np.sum(np.float32(us) > cdf)), len(gi) - 1)
+        idx = int(gi[j])
+    w_match = float(gw[gi == idx].sum())
+    p = lam / e + (1.0 - lam) * w_match
+    return idx, 1.0 / p
+
+
 def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
     """EmitterSampling.ONE contribution at a diffuse bounce (scalar twin of
     the block in ``render/pathtracer.py::_shade``; estimator spec in
@@ -401,8 +442,12 @@ def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
     from ..ops.shading import U_EM_PICK, U_EM1, U_EM2
 
     em = sc["emitters"]
-    e = em["pos"].shape[0]
-    idx = min(int(u[U_EM_PICK] * e), e - 1)
+    p_cell = np.asarray(hitpoint, np.float64)
+    if em.get("grid_idx") is not None:
+        # normal-nudged cell lookup (twin of sample_emitter_point's n= arg:
+        # wall hitpoints sit exactly on grid-cell boundary planes)
+        p_cell = p_cell + (0.01 * em["cell_size"]) * np.asarray(n, np.float64)
+    idx, pick_inv = _pick_emitter(em, p_cell, u[U_EM_PICK])
     pos = em["pos"][idx]
     size = em["size"][idx]
     mat_e = int(em["mat"][idx])
@@ -431,7 +476,7 @@ def _emitter_nee(sc, hitpoint, n, albedo, u, cur_mat):
     ne = np.zeros(3)
     ne[axis] = 2.0 * hi - 1.0
 
-    inv_pdf = e * size * size * total / w_a
+    inv_pdf = pick_inv * size * size * total / w_a
     return _emitter_point_contrib(
         sc, hitpoint, n, albedo, cur_mat, q, ne, mat_e, a, b, inv_pdf
     )

@@ -1172,7 +1172,8 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
 
         if scene.emitter_sampling == EmitterSampling.ONE:
             smp = sample_emitter_point(
-                em, hp_sg, u[:, U_EM_PICK], u[:, U_EM1], u[:, U_EM2]
+                em, hp_sg, u[:, U_EM_PICK], u[:, U_EM1], u[:, U_EM2],
+                n=jax.lax.stop_gradient(n),
             )
             em_contrib = em_face_contrib(
                 smp["q"], smp["ne"], smp["mat"], smp["uv"], smp["inv_pdf"]
@@ -1201,7 +1202,17 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
                     q, ne, mat_e, uv, inv_pdf
                 )
         else:  # EmitterSampling.ALL — one scan step per emitter block
+            from ..models.emitters import ALL_MAX_EMITTERS
+
             e_cnt = em.pos.shape[0]
+            if e_cnt > ALL_MAX_EMITTERS:
+                raise ValueError(
+                    f"EmitterSampling.ALL sums 3 shadow traversals per "
+                    f"emitter per diffuse bounce — O(E) work; this scene has "
+                    f"E={e_cnt} > {ALL_MAX_EMITTERS}.  Use EmitterSampling."
+                    f"ONE (spatially-selected, O(1) per bounce) for large "
+                    f"emitter tables."
+                )
             b_lanes = hitpoint.shape[0]
 
             def _all_body(acc, i):

@@ -201,3 +201,105 @@ def test_emitter_nee_gradients_flow():
     em_[2] -= eps
     fd = (float(loss(jnp.asarray(ep))) - float(loss(jnp.asarray(em_)))) / (2 * eps)
     np.testing.assert_allclose(float(g[2]), fd, rtol=5e-3, atol=1e-6)
+
+
+def test_spatial_pick_pdf_is_exact_and_unbiased():
+    """The spatial mixture sampler's realized pdf must integrate to 1 over
+    the emitter table at any shading point (sum over all emitters of
+    p(e | x) == 1), and the sampled histogram must match the pdf."""
+    import jax
+
+    from octree_pathtracing_tpu.models import scattered_lights_scene
+    from octree_pathtracing_tpu.models.emitters import _spatial_pick
+
+    scene, _ = scattered_lights_scene(depth=5, n_lights=40)
+    em = scene.emitters
+    assert em is not None and em.grid_idx is not None
+    e = em.count
+    s = 32.0
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(1, s - 1, (16, 3)), jnp.float32
+    )
+
+    # analytic pdf per (point, emitter): lam/E + (1-lam)*w if in cell list
+    g = 1 << em.grid_bits
+    cell = np.clip(
+        (np.asarray(pts) / em.cell_size).astype(np.int64), 0, g - 1
+    )
+    c = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    gi = np.asarray(em.grid_idx)[c]  # (P, K)
+    gw = np.asarray(em.grid_w)[c]
+    pdf = np.full((pts.shape[0], e), em.lam / e)
+    for pi in range(pts.shape[0]):
+        for j in range(gi.shape[1]):
+            pdf[pi, gi[pi, j]] += (1 - em.lam) * gw[pi, j]
+    np.testing.assert_allclose(pdf.sum(axis=1), 1.0, rtol=1e-5)
+
+    # histogram check at one point
+    n = 40000
+    u = np.asarray(jax.random.uniform(jax.random.PRNGKey(4), (n,)))
+    p0 = jnp.broadcast_to(pts[3], (n, 3))
+    idx, inv_p = _spatial_pick(em, p0, jnp.asarray(u, jnp.float32))
+    idx = np.asarray(idx)
+    hist = np.bincount(idx, minlength=e) / n
+    np.testing.assert_allclose(hist, pdf[3], atol=4.0 / np.sqrt(n))
+    # realized inv_pdf equals the analytic one for every sample
+    np.testing.assert_allclose(
+        np.asarray(inv_p), 1.0 / pdf[3, idx], rtol=1e-4
+    )
+
+
+def test_spatial_pick_beats_uniform_variance():
+    """On a scattered-emitter scene the spatially-selected ONE estimator must
+    (a) agree in mean with the uniform-pick estimator (both unbiased) and
+    (b) have materially lower error at equal spp (VERDICT r4 #4 criterion)."""
+    import dataclasses
+
+    from octree_pathtracing_tpu.models import scattered_lights_scene
+    from octree_pathtracing_tpu.models.emitters import EmitterTable
+
+    scene, cam = scattered_lights_scene(depth=5, n_lights=150)
+    em = scene.emitters
+    assert em.count >= 100
+    em_uniform = EmitterTable(pos=em.pos, size=em.size, mat=em.mat)
+    scene_u = dataclasses.replace(scene, emitters=em_uniform)
+    origins, dirs = pixel_grid_rays(cam, 6, 6)
+    b = origins.shape[0]
+
+    def imgs(sc, spp, seed):
+        f = jax.jit(lambda o, d, u: trace_paths(sc, o, d, u))
+        out = []
+        for k in range(spp):
+            u = draw_uniforms(jax.random.PRNGKey(seed + k), b, n_bounces=2)
+            out.append(np.asarray(f(origins, dirs, u)))
+        return np.stack(out)
+
+    spp = 48
+    a_sp = imgs(scene, spp, 10)
+    a_un = imgs(scene_u, spp, 10)
+    ref = imgs(scene, 160, 5000).mean(0)  # near-converged (unbiased) truth
+    m_sp, m_un = a_sp.mean(0), a_un.mean(0)
+    # (a) unbiasedness: both means near the converged reference
+    assert abs(m_sp.mean() - ref.mean()) / ref.mean() < 0.12
+    assert abs(m_un.mean() - ref.mean()) / ref.mean() < 0.25
+    # (b) error: spatial pick materially lower at equal spp
+    err_sp = np.abs(m_sp - ref).mean()
+    err_un = np.abs(m_un - ref).mean()
+    assert err_sp < 0.6 * err_un, (err_sp, err_un)
+
+
+def test_emitter_all_refuses_large_tables():
+    """EmitterSampling.ALL is O(E) traversals per bounce; it must refuse to
+    compile against a large table instead of silently crawling."""
+    import dataclasses
+
+    import pytest
+
+    from octree_pathtracing_tpu.models import scattered_lights_scene
+
+    scene, cam = scattered_lights_scene(depth=5, n_lights=150)
+    scene = dataclasses.replace(scene, emitter_sampling=EmitterSampling.ALL)
+    origins, dirs = pixel_grid_rays(cam, 4, 4)
+    u = draw_uniforms(jax.random.PRNGKey(0), origins.shape[0], n_bounces=2)
+    with pytest.raises(ValueError, match="EmitterSampling.ALL"):
+        trace_paths(scene, origins, dirs, u)
