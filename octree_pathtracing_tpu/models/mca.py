@@ -253,12 +253,10 @@ def build_region_octree(
     region-local voxels in [0, 512) x [0, 384) x [0, 512).
 
     ``biome_variants``: emit per-biome leaf ids for tinted blockstates (see
-    ``remap_sections``).  Biome data currently comes from the python NBT
-    path only, so this forces ``use_native=False``.
+    ``remap_sections``).  The native parser emits biome palettes since
+    protocol v2, so pack worlds take the C++ fast path too.
     """
     sections = None
-    if biome_variants:
-        use_native = False  # the C++ parser doesn't emit biome palettes yet
     if use_native:
         try:
             from .native import parse_region_native

@@ -41,11 +41,21 @@ def _build() -> str:
     return _SO
 
 
+ABI_VERSION = 2  # protocol v2: per-section biome palette + cell tail
+
+
 def get_lib():
     global _lib
     with _lock:
         if _lib is None:
             lib = ctypes.CDLL(_build())
+            lib.native_abi_version.restype = ctypes.c_int64
+            if lib.native_abi_version() != ABI_VERSION:
+                raise RuntimeError(
+                    f"stale libmca_parser.so (abi "
+                    f"{lib.native_abi_version()} != {ABI_VERSION}) — delete "
+                    f"{_SO} to rebuild"
+                )
             lib.parse_region.restype = ctypes.c_int64
             lib.parse_region.argtypes = [
                 ctypes.c_char_p,
@@ -87,7 +97,28 @@ def parse_region_native(buf: bytes):
             pos += ln
         indices = np.frombuffer(blob, "<u2", 4096, pos).copy()
         pos += 8192
+        (bcount,) = struct.unpack_from("<i", blob, pos)
+        pos += 4
+        b_pal = None
+        b_idx = None
+        if bcount > 0:
+            b_pal = []
+            for _ in range(bcount):
+                (ln,) = struct.unpack_from("<H", blob, pos)
+                pos += 2
+                b_pal.append(blob[pos : pos + ln].decode("utf-8", "replace"))
+                pos += ln
+            b_idx = np.frombuffer(blob, "<u2", 64, pos).copy()
+            pos += 128
         sections.append(
-            Section(chunk_x=cx, chunk_z=cz, y_pos=y_pos, palette=palette, indices=indices)
+            Section(
+                chunk_x=cx,
+                chunk_z=cz,
+                y_pos=y_pos,
+                palette=palette,
+                indices=indices,
+                biome_palette=b_pal,
+                biome_indices=b_idx,
+            )
         )
     return sections

@@ -7,10 +7,15 @@
 // ctypes (octree_pathtracing_tpu/models/native.py); the numpy implementation
 // in models/mca.py is the semantic reference.
 //
-// Output protocol per section (little-endian):
+// Output protocol v2 per section (little-endian):
 //   i32 chunk_x, i32 chunk_z, i32 y_pos, i32 palette_count
 //   palette_count x { u16 len; bytes utf8 }   (name#prop=val,... canonical)
 //   4096 x u16 palette indices (section-local YZX order)
+//   i32 biome_palette_count (0 = section had no biome tag)
+//   biome_palette_count x { u16 len; bytes utf8 }
+//   [if biome_palette_count > 0] 64 x u16 biome cell indices (4x4x4 YZX,
+//       1.18+ packing: bits = ceil(log2(count)), NO minimum-4 floor —
+//       mirrors models/mca.py unpack_biome_indices)
 //
 // parse_region() returns the number of sections, writing the blob into the
 // caller's buffer; returns -(needed_bytes) if the buffer is too small, -1 on
@@ -106,6 +111,8 @@ struct SectionData {
   bool has_y = false;
   std::vector<PaletteEntry> palette;
   std::vector<uint64_t> data;
+  std::vector<std::string> biome_palette;
+  std::vector<uint64_t> biome_data;
 };
 
 // Skip a payload of the given tag.
@@ -192,6 +199,31 @@ void parse_block_states(Cursor& c, SectionData& s) {
   }
 }
 
+void parse_biomes(Cursor& c, SectionData& s) {
+  while (!c.fail) {
+    int t = c.u8();
+    if (t == TAG_END) return;
+    std::string name = c.str();
+    if (t == TAG_LIST && name == "palette") {
+      int it = c.u8();
+      uint32_t n = c.u32();
+      for (uint32_t i = 0; i < n && !c.fail; i++) {
+        if (it == TAG_STRING) {
+          s.biome_palette.push_back(c.str());
+        } else {
+          skip_payload(c, it);
+        }
+      }
+    } else if (t == TAG_LONG_ARRAY && name == "data") {
+      uint32_t n = c.u32();
+      s.biome_data.resize(n);
+      for (uint32_t i = 0; i < n && !c.fail; i++) s.biome_data[i] = c.u64();
+    } else {
+      skip_payload(c, t);
+    }
+  }
+}
+
 void parse_section(Cursor& c, SectionData& s) {
   while (!c.fail) {
     int t = c.u8();
@@ -205,6 +237,8 @@ void parse_section(Cursor& c, SectionData& s) {
       s.has_y = true;
     } else if (t == TAG_COMPOUND && name == "block_states") {
       parse_block_states(c, s);
+    } else if (t == TAG_COMPOUND && name == "biomes") {
+      parse_biomes(c, s);
     } else {
       skip_payload(c, t);
     }
@@ -338,6 +372,33 @@ extern "C" int64_t parse_region(const uint8_t* buf, int64_t len, uint8_t* out,
         }
       }
       w.raw(indices, sizeof(indices));
+
+      // biome tail (protocol v2)
+      w.put<int32_t>(int32_t(s.biome_palette.size()));
+      for (auto& name : s.biome_palette) {
+        w.put<uint16_t>(uint16_t(name.size()));
+        w.raw(name.data(), int64_t(name.size()));
+      }
+      if (!s.biome_palette.empty()) {
+        uint16_t bcells[64];
+        size_t bsize = s.biome_palette.size();
+        if (bsize <= 1 || s.biome_data.empty()) {
+          memset(bcells, 0, sizeof(bcells));
+        } else {
+          int bits = 1;
+          while ((size_t(1) << bits) < bsize) bits++;
+          int per_long = 64 / bits;
+          uint64_t mask = (uint64_t(1) << bits) - 1;
+          for (int j = 0; j < 64; j++) {
+            size_t word = size_t(j) / per_long;
+            int shift = (j % per_long) * bits;
+            uint64_t v =
+                word < s.biome_data.size() ? (s.biome_data[word] >> shift) & mask : 0;
+            bcells[j] = uint16_t(v);
+          }
+        }
+        w.raw(bcells, sizeof(bcells));
+      }
       n_sections++;
     }
   }
@@ -345,4 +406,4 @@ extern "C" int64_t parse_region(const uint8_t* buf, int64_t len, uint8_t* out,
   return n_sections;
 }
 
-extern "C" int64_t native_abi_version() { return 1; }
+extern "C" int64_t native_abi_version() { return 2; }
