@@ -101,3 +101,34 @@ def test_sharded_train_step_grads():
     assert np.isfinite(g_atlas).all()
     # some albedo gradient must be nonzero (surfaces are visible)
     assert np.abs(g_atlas).max() > 0.0
+
+
+def test_sharded_emitter_nee_matches_unsharded():
+    """Emitter NEE with the r5 spatial pick (supercell grid gathers + the
+    normal-nudged cell lookup) under shard_map: the sharded render must
+    equal the unsharded one bit-for-bit (grid tables replicated, per-lane
+    gathers varying)."""
+    import dataclasses
+
+    from octree_pathtracing_tpu.models import emissive_room_scene
+    from octree_pathtracing_tpu.ops.shading import N_UNIFORMS
+    from octree_pathtracing_tpu.render import trace_paths
+
+    mesh = make_mesh()  # (4, 2)
+    scene, cam = emissive_room_scene(depth=3)
+    assert scene.emitters is not None and scene.emitters.grid_idx is not None
+    w, h, s = 8, 4, 2
+    n_bounces = 2
+    origins, dirs = pixel_grid_rays(cam, w, h)
+    b = origins.shape[0]
+    o = jnp.broadcast_to(origins[None], (s, b, 3))
+    d = jnp.broadcast_to(dirs[None], (s, b, 3))
+    u = draw_uniforms(jax.random.PRNGKey(9), s * b, n_bounces=n_bounces).reshape(
+        s, b, n_bounces, N_UNIFORMS
+    )
+    got = np.asarray(sharded_render(mesh, scene, o, d, u))
+    want = np.zeros_like(got)
+    for k in range(s):
+        want += np.asarray(trace_paths(scene, origins, dirs, u[k])) / s
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    assert np.isfinite(got).all() and got.mean() > 1e-4
