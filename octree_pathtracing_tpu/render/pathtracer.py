@@ -670,7 +670,8 @@ _bounce_skip.defvjp(_bounce_skip_fwd, _bounce_skip_bwd)
 
 def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
                            sort_key: str = "active", skip_dead: bool = False,
-                           beam: bool = False, drain: bool = False):
+                           beam: bool = False, drain: bool = False,
+                           sort_bounces=None):
     """Per-bounce tiled integrator with between-bounce liveness compaction.
 
     Every bounce runs as ``t`` sequential tiles (``lax.map``); before each
@@ -691,7 +692,14 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
     extent = float(1 << scene.octree.depth)
     for bounce in range(n_bounces):
         if bounce > 0:
-            st = _sort_state_by_active(st, key=sort_key, extent=extent)
+            # ``sort_bounces``: optional static subset of bounces that
+            # re-sort (scheduling-only: skipping a re-sort leaves lanes
+            # dying IN PLACE inside already-packed tiles; per-lane uniforms
+            # always ride the carried original index, so results are
+            # bit-identical under any schedule — locked by
+            # test_integrator_paths).
+            if sort_bounces is None or bounce in sort_bounces:
+                st = _sort_state_by_active(st, key=sort_key, extent=extent)
             u_b = jnp.take(uniforms[:, bounce, :], st["idx"], axis=0)
         else:
             u_b = uniforms[:, 0, :]
@@ -782,7 +790,7 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
 
 def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True,
                 sort_key: str = "active", skip_dead: bool = False,
-                beam: bool = False, drain: bool = True):
+                beam: bool = False, drain: bool = True, sort_bounces="auto"):
     """Trace a lane batch to completion; returns (B, 3) linear radiance.
 
     ``uniforms``: (B, n_bounces, N_UNIFORMS) pre-drawn uniform block (see
@@ -804,7 +812,13 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     ``drain``: two-phase straggler-drain traversal (``_traverse_drain``) —
     cap each tile's lockstep loop, pull the unfinished lanes across tile
     boundaries into a drain buffer, resume them via restart-from-t.
-    Bit-identical results; measured -38% iterations on primary traversal
+    Bit-identical results in exact arithmetic and on the CPU backend
+    (locked by test_integrator_paths); on TPU, changing WHICH lanes drain
+    (the k1 cap) can flip knife-edge lanes by ulps because XLA:TPU may
+    contract the tile-path and drain-path arithmetic differently (measured
+    max radiance diff 6.7e-3 on one 65k-lane frame between k1 schedules,
+    tools/PERF_NOTES.md r5) — any FIXED schedule is deterministic.
+    Measured -38% iterations on primary traversal
     and -5% on the full fwd+bwd bench (PERF_NOTES r4).  Applies on plain
     (non-brick) pools in the compacted path — including alpha-cutout /
     quad-model scenes, whose stateless accept callback re-evaluates
@@ -812,9 +826,20 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     pools, and off when ``skip_dead`` is chosen — the two are alternative
     bounce strategies and skip_dead measures faster for forward-only
     rendering while drain wins differentiated (PERF_NOTES r4).
+
+    ``sort_bounces``: which bounces re-sort (compaction schedule).  The
+    default ``"auto"`` = {1, 2}: the r5 phase decomposition measured each
+    65k-lane re-sort at ~2.15 ms while bounce-3+ re-sorts no longer shrink
+    the live tile count (lanes die IN PLACE inside tiles already packed at
+    bounce 2, and a tile's lockstep loop tracks its live lanes' max
+    either way) — skipping them was worth -7% headline fwd+bwd and won on
+    every bench line (tools/PERF_NOTES.md r5).  ``None`` = every bounce;
+    results are bit-identical under any schedule.
     """
     from ..octree.brick import BrickOctree
 
+    if sort_bounces == "auto":
+        sort_bounces = (1, 2)
     b = origins.shape[0]
     t = _auto_tiles(b) if tiles == "auto" else max(1, int(tiles))
     drain = (
@@ -827,7 +852,7 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     if compact:
         return _trace_paths_compacted(
             scene, origins, dirs, uniforms, t, sort_key, skip_dead, beam=beam,
-            drain=drain,
+            drain=drain, sort_bounces=sort_bounces,
         )
     bt = b // t
     o = origins.reshape(t, bt, 3)

@@ -133,3 +133,17 @@ def test_drain_accept_scenes_bit_identical():
         out2 = np.asarray(trace_paths(scene, origins, dirs, u, tiles=4,
                                       drain=True))
         np.testing.assert_array_equal(out2, ref, err_msg=name + " default k1")
+
+
+def test_sort_schedule_bit_identity():
+    """The compaction re-sort schedule (r5 ``sort_bounces``) is scheduling
+    only: sorting at every bounce, at {1,2} (the auto default), at bounce 1
+    only, or never must produce identical radiance (uniforms always ride
+    the carried original index)."""
+    scene, o, d, u = _setup(seed=37, n_bounces=4)
+    ref = np.asarray(trace_paths(scene, o, d, u, tiles=4, sort_bounces=None))
+    for sb in ("auto", (1,), (1, 2), ()):
+        out = np.asarray(
+            trace_paths(scene, o, d, u, tiles=4, sort_bounces=sb)
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=str(sb))

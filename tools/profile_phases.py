@@ -80,8 +80,7 @@ def main():
     def sort_fn(st):
         return pt._sort_state_by_active(st, extent=extent)
 
-    @jax.jit
-    def trav_fn(scene_, st, first):
+    def _trav_impl(scene_, st, first):
         scene_sg = jax.tree.map(sg, scene_)
         return pt._traverse_drain(
             scene_sg,
@@ -93,6 +92,12 @@ def main():
             if scene_.opaque_only
             else (lambda o, d: make_accept_fn(scene_sg, o, d)),
         )
+
+    trav_jits = {
+        f: jax.jit(lambda s, st, f=f: _trav_impl(s, st, f))
+        for f in (True, False)
+    }
+    trav_fn = lambda s, st, first: trav_jits[first](s, st)
 
     def shade_impl(scene_, st, u_b, res, first, may):
         idx = st.pop("idx")
