@@ -24,9 +24,11 @@ def _build_scene(args):
     from .models import (
         analytic_sphere_scene,
         cornell_scene,
+        cutout_chunk_scene,
         emissive_room_scene,
         minecraft_chunk_scene,
         plant_scene,
+        scattered_lights_scene,
         sphere_scene,
     )
 
@@ -42,6 +44,8 @@ def _build_scene(args):
         "cornell": cornell_scene,
         "room": emissive_room_scene,
         "chunk": minecraft_chunk_scene,
+        "cutout": cutout_chunk_scene,
+        "scattered": scattered_lights_scene,
         "plant": plant_scene,
     }
     return builders[args.scene](depth=args.depth if args.depth else 6)
@@ -171,7 +175,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "room", "chunk", "plant"])
+        sp.add_argument("--scene", default="cornell", choices=["sphere", "analytic", "cornell", "room", "chunk", "cutout", "scattered", "plant"])
         sp.add_argument("--world", default="", help="Minecraft region file / world dir")
         sp.add_argument("--pack", default="", help="resource pack dir (block models + textures) for --world")
         sp.add_argument("--depth", type=int, default=0, help="octree depth (2..12)")
