@@ -194,6 +194,12 @@ def shadow_state_init(cur_mat, n_surfaces: int, record_t: bool = False):
     ``record_t``: additionally record each surface's world-space ``t`` (the
     emitter-NEE walk truncates attenuation at the light's distance; the sun
     walk doesn't pay for the extra carry rows).
+
+    ``t_last`` tracks the largest recorded surface t (−1 before any): the
+    drained walk's resume phase uses it to skip candidates already recorded
+    before the phase-1 cap (restart-from-t backs up by a margin, so the
+    last recorded surface can be re-encountered — see
+    ``make_shadow_accept_fn(resume=True)``).
     """
     cm = cur_mat.astype(jnp.int32)
     zi = cm * 0  # varying zeros, int32 (B,)
@@ -204,6 +210,7 @@ def shadow_state_init(cur_mat, n_surfaces: int, record_t: bool = False):
         count=zi,
         w=zf + 1.0,
         cm=cm,
+        t_last=zf - 1.0,
         mats=rows_i,
         uu=rows_f,
         vv=rows_f,
@@ -213,7 +220,8 @@ def shadow_state_init(cur_mat, n_surfaces: int, record_t: bool = False):
     return st
 
 
-def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
+def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool,
+                          resume: bool = False):
     """Stateful accept: record each alpha surface the shadow ray crosses.
 
     One traversal replaces the reference's re-march per surface
@@ -277,6 +285,13 @@ def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
         uu = jnp.where(is_bin, uv[:, 0], fu)
         vv = jnp.where(is_bin, uv[:, 1], fv)
         alpha = jnp.where(is_bin, 1.0, fa)
+        if resume:
+            # drained-walk resume: restart-from-t backs the march up by a
+            # margin, so surfaces recorded just before the phase-1 cap are
+            # re-encountered — skip anything at or before the last recorded
+            # t (t re-derives bit-identically, so strict > excludes exactly
+            # the already-recorded surfaces).
+            is_surface = is_surface & (t_world > state["t_last"])
         new_w = state["w"] * (1.0 - alpha)
         if strict:
             ior_change = (
@@ -293,6 +308,7 @@ def make_shadow_accept_fn(scene: Scene, origins, dirs, strict: bool):
             count=count,
             w=w,
             cm=jnp.where(is_surface, mat, state["cm"]),
+            t_last=jnp.where(is_surface, t_world, state["t_last"]),
             mats=jnp.where(sel, mat[None, :], state["mats"]),
             uu=jnp.where(sel, uu[None, :], state["uu"]),
             vv=jnp.where(sel, vv[None, :], state["vv"]),

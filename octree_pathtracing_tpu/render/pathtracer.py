@@ -188,8 +188,15 @@ def shadow_attenuation(scene: Scene, origins, dirs, cur_mat, active=None,
     _, st = _trace_stateful(
         scene, origins + dirs * OFFSET, dirs, builder, state0, active=active
     )
+    return _stateful_att_from_state(scene, origins, dirs, cur_mat, st, max_t,
+                                    strict)
 
-    # differentiable recompute from the recorded surfaces
+
+def _stateful_att_from_state(scene: Scene, origins, dirs, cur_mat, st, max_t,
+                             strict: bool):
+    """Differentiable attenuation recompute from a walk's recorded-surface
+    state (shared by the in-shade single-phase walk and the pooled drained
+    walk of the drain integrator)."""
     b = origins.shape[0]
     att_rgb = jnp.ones((b, 3), jnp.float32)
     w = jnp.ones((b,), jnp.float32)
@@ -413,6 +420,187 @@ def _traverse_drain(scene_sg, origins, dirs, active, t: int,
         voxel_pos=f1[:, 3:6],
         voxel_size=f1[:, 6],
         steps=steps,
+    )
+
+
+def _pack_shadow_state(st):
+    """Shadow accept-state -> ((10, B) float rows, (6, B) int rows)."""
+    f = jnp.concatenate(
+        [st["w"][None], st["t_last"][None], st["uu"], st["vv"]], axis=0
+    )
+    i = jnp.concatenate([st["count"][None], st["cm"][None], st["mats"]], axis=0)
+    return f, i
+
+
+def _unpack_shadow_state(f, i, n_surf: int):
+    return dict(
+        count=i[0],
+        cm=i[1],
+        mats=i[2 : 2 + n_surf],
+        w=f[0],
+        t_last=f[1],
+        uu=f[2 : 2 + n_surf],
+        vv=f[2 + n_surf : 2 + 2 * n_surf],
+    )
+
+
+def _shadow_walk_drain(scene_sg, origins, dirs, cur_mat, active, t: int,
+                       k1=None, margin: float = 1e-3):
+    """Whole-batch straggler-drained stateful shadow walk.
+
+    The per-tile stateful walk pays each tile's own straggler (the cutout
+    bench decomposition put the sun walk at ~55 ms of the 126 ms frame —
+    tools/PERF_NOTES.md r5).  Same two-phase scheme as ``_traverse_drain``,
+    with the ACCEPT STATE carried across the restart: phase 1 caps every
+    tile's walk at ``k1``; unfinished lanes are rank-selected into a pooled
+    buffer together with their packed recorded-surface state and resumed
+    via restart-from-t under ``make_shadow_accept_fn(resume=True)``, whose
+    ``t_last`` guard skips the (margin-window) surfaces already recorded.
+    Exact on CPU (locked by test); on TPU lanes that switch phase can move
+    by ulps (callsite contraction — same caveat as the k1 schedule).
+
+    Inputs are the walk rays (origin WITHOUT the OFFSET nudge — applied
+    here), detached.  Returns the final accept state over the full batch.
+    """
+    from .hit import make_shadow_accept_fn, shadow_state_init
+
+    k1 = DRAIN_STEPS if k1 is None else k1  # runtime lookup (tests patch it)
+    strict = scene_sg.sun_sampling.strict_direct_light
+    tree = scene_sg.octree
+    b = origins.shape[0]
+    bt = b // t
+    s_buf = min(DRAIN_BUF, b)
+    n_surf = SHADOW_MAX_SURFACES
+    o_off = origins + dirs * OFFSET
+
+    def tile1(xs):
+        o_, d_, a_, cm_ = xs
+        accept = make_shadow_accept_fn(scene_sg, o_, d_, strict)
+        st0 = shadow_state_init(cm_, n_surf)
+        _, user, rt_, unf_ = traverse_tree(
+            tree, o_, d_, max_dst=MAX_DIST,
+            accept_fn=accept, accept_state=st0,
+            active_mask=a_, max_steps=k1, export_resume=True,
+        )
+        f_, i_ = _pack_shadow_state(user)
+        return f_, i_, rt_, unf_
+
+    r3 = lambda x: x.reshape((t, bt) + x.shape[1:])
+    f1, i1, rt, unf = jax.lax.map(
+        tile1,
+        (r3(o_off), r3(dirs), active.reshape(t, bt), r3(cur_mat)),
+    )
+    # (t, rows, bt) -> (rows, B)
+    f1 = jnp.moveaxis(f1, 0, 1).reshape(f1.shape[1], b)
+    i1 = jnp.moveaxis(i1, 0, 1).reshape(i1.shape[1], b)
+    rt = rt.reshape(b)
+    unf = unf.reshape(b)
+
+    ray_pk = jnp.concatenate(
+        [o_off, dirs, jnp.maximum(rt - margin, 0.0)[:, None]], axis=1
+    )
+    lane_ids = jnp.arange(b, dtype=jnp.int32)
+
+    def drain_cond(c):
+        return jnp.any(c[0])
+
+    def drain_round(c):
+        remaining, f_acc, i_acc = c
+        rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+        takes = remaining & (rank < s_buf)
+        sel = jnp.full((s_buf,), b, jnp.int32).at[
+            jnp.where(takes, rank, s_buf)
+        ].set(lane_ids, mode="drop")
+        valid = sel < b
+        selc = jnp.minimum(sel, b - 1)
+        rows = ray_pk[selc]  # (S, 7)
+        st_in = _unpack_shadow_state(f_acc[:, selc], i_acc[:, selc], n_surf)
+        accept = make_shadow_accept_fn(
+            scene_sg, rows[:, 0:3], rows[:, 3:6], strict, resume=True
+        )
+        _, user = traverse_tree(
+            tree,
+            rows[:, 0:3],
+            rows[:, 3:6],
+            max_dst=MAX_DIST,
+            accept_fn=accept,
+            accept_state=st_in,
+            active_mask=valid,
+            t_start=rows[:, 6],
+        )
+        f_r, i_r = _pack_shadow_state(user)
+        f_acc = f_acc.at[:, sel].set(f_r, mode="drop")
+        i_acc = i_acc.at[:, sel].set(i_r, mode="drop")
+        return remaining & ~takes, f_acc, i_acc
+
+    _, f1, i1 = jax.lax.while_loop(drain_cond, drain_round, (unf, f1, i1))
+    return _unpack_shadow_state(f1, i1, n_surf)
+
+
+def _pooled_sun_att(scene: Scene, st, u, res, is_first: bool,
+                    may_scatter: bool, t: int):
+    """Whole-batch sun-NEE attenuation for the drain integrator: replicate
+    ``_shade``'s gating (detached — it only feeds the visibility walk),
+    run the DRAINED stateful walk, and recompute attenuation differentiably
+    from the recorded surfaces.  Returns (B, 4) att for ``_shade(sun_att=)``.
+    The duplicated gating measured ~2 ms whole-batch (r4); the pooled drain
+    saves far more on stateful-walk scenes (PERF_NOTES r5)."""
+    from .hit import resolve_hit
+    from ..models.materials import gather_rows
+
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    st_sg = jax.tree.map(sg, st)
+    u = sg(u)
+    strat = scene.sun_sampling
+
+    active = st_sg["active"]
+    if scene_sg.prims is not None:
+        p_hit, p_t, p_mat, p_uv, p_n = _prim_hit(
+            scene_sg, st_sg["origin"], st_sg["dir"]
+        )
+        any_hit = res.hit | p_hit
+    else:
+        any_hit = res.hit
+    hit = active & any_hit
+    can_scatter = hit & may_scatter
+    mat, hit_uv, n, t_hit = resolve_hit(
+        scene_sg, st_sg["origin"], st_sg["dir"], res
+    )
+    if scene_sg.prims is not None:
+        t_oct = jnp.where(res.hit, t_hit, jnp.inf)
+        use_p = p_hit & (p_t < t_oct)
+        mat = jnp.where(use_p, p_mat, mat)
+        hit_uv = jnp.where(use_p[:, None], p_uv, hit_uv)
+        n = jnp.where(use_p[:, None], p_n, n)
+        t_hit = jnp.where(use_p, p_t, t_hit)
+    mrow = gather_rows(scene_sg.materials, mat)
+    albedo = sample_atlas(
+        scene_sg.atlas, mrow["texture_index"], hit_uv[:, 0], hit_uv[:, 1]
+    )
+    hitpoint = st_sg["origin"] + st_sg["dir"] * t_hit[:, None]
+    b = hitpoint.shape[0]
+    bounce0 = jnp.full((b,), is_first)
+    sc = lobe_scatter(
+        scene_sg, u, st_sg["dir"], n, albedo, mat, st_sg["cur_mat"], bounce0,
+        mrow=mrow,
+    )
+    sun_dir = random_sun_direction(scene_sg.sun, u[:, U_SUN1], u[:, U_SUN2])
+    front = jnp.sum(sun_dir * n, axis=-1) > 0.0
+    sss = (
+        ((mrow["flags"] & FLAG_SUBSURFACE_SCATTER) != 0)
+        & (u[:, U_SUBSURFACE] < scene.f_sub_surface)
+    )
+    shadow_on = sc["do_diff"] & can_scatter & (front | sss)
+    shadow_origin = jnp.where(front[:, None], hitpoint, hitpoint - OFFSET * n)
+
+    walk_st = _shadow_walk_drain(
+        scene_sg, shadow_origin, sun_dir, st_sg["cur_mat"], shadow_on, t
+    )
+    # differentiable recompute against the REAL scene
+    return _stateful_att_from_state(
+        scene, shadow_origin, sun_dir, st_sg["cur_mat"], walk_st, None,
+        strat.strict_direct_light,
     )
 
 
@@ -671,7 +859,7 @@ _bounce_skip.defvjp(_bounce_skip_fwd, _bounce_skip_bwd)
 def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
                            sort_key: str = "active", skip_dead: bool = False,
                            beam: bool = False, drain: bool = False,
-                           sort_bounces=None):
+                           sort_bounces=None, pool_sun_walk: bool = False):
     """Per-bounce tiled integrator with between-bounce liveness compaction.
 
     Every bounce runs as ``t`` sequential tiles (``lax.map``); before each
@@ -736,6 +924,24 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
             # 83.0 ms.  The duplicated whole-batch pre-shade gating costs
             # more than pooled stragglers save; per-tile shadow rays are
             # already pixel-coherent.  tools/PERF_NOTES.md r4.)
+            # pooled drained stateful sun walk (r5): hoist the walk out of
+            # the per-tile shade and drain its stragglers across tile
+            # boundaries (accept-state carried through restart-from-t).
+            # Implemented, proven bit-identical, and measured SLOWER on the
+            # cutout bench line (139.4/156.4 vs 125.8/135.2 ms — the
+            # duplicated whole-batch gating + the wider drained carry cost
+            # more than pooled stragglers save; the walk's cost is its
+            # texel-testing body, not per-tile maxima — PERF_NOTES r5, the
+            # stateful twin of r4's rejected pooled binary walk).  OPT-IN
+            # via trace_paths(pool_sun_walk=True); kept as the recorded
+            # implementation of stateful drain resume.
+            sun_att = None
+            if may and pool_sun_walk and scene.sun_sampling.sun_sampling \
+                    and not scene.shadow_binary:
+                sun_att = _pooled_sun_att(
+                    scene, st, u_b, res, is_first, may, t
+                )
+
             res = res._replace(steps=jnp.broadcast_to(res.steps, (t,)))
             res_tiles = jax.tree.map(
                 lambda x: x.reshape((t, bt) + x.shape[1:])
@@ -744,21 +950,43 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
                 res,
             )
 
-            def shade_fn(xs, first=is_first, m=may):
-                st_t, u_t, res_t = xs
-                if first:
-                    return _shade(scene, st_t, u_t, res_t, first, m)
-                # dead tiles skip shading's fixed-cost gathers entirely
-                return jax.lax.cond(
-                    jnp.any(st_t["active"]),
-                    lambda a: _shade(scene, a[0], a[1], a[2], first, m),
-                    lambda a: a[0],
-                    (st_t, u_t, res_t),
-                )
+            if sun_att is None:
+
+                def shade_fn(xs, first=is_first, m=may):
+                    st_t, u_t, res_t = xs
+                    if first:
+                        return _shade(scene, st_t, u_t, res_t, first, m)
+                    # dead tiles skip shading's fixed-cost gathers entirely
+                    return jax.lax.cond(
+                        jnp.any(st_t["active"]),
+                        lambda a: _shade(scene, a[0], a[1], a[2], first, m),
+                        lambda a: a[0],
+                        (st_t, u_t, res_t),
+                    )
+
+                xs = (st_tiles, u_tiles, res_tiles)
+            else:
+
+                def shade_fn(xs, first=is_first, m=may):
+                    st_t, u_t, res_t, att_t = xs
+                    if first:
+                        return _shade(
+                            scene, st_t, u_t, res_t, first, m, sun_att=att_t
+                        )
+                    return jax.lax.cond(
+                        jnp.any(st_t["active"]),
+                        lambda a: _shade(
+                            scene, a[0], a[1], a[2], first, m, sun_att=a[3]
+                        ),
+                        lambda a: a[0],
+                        (st_t, u_t, res_t, att_t),
+                    )
+
+                xs = (st_tiles, u_tiles, res_tiles, sun_att.reshape(t, bt, 4))
 
             st = jax.tree.map(
                 lambda x: x.reshape((b,) + x.shape[2:]),
-                jax.lax.map(shade_fn, (st_tiles, u_tiles, res_tiles)),
+                jax.lax.map(shade_fn, xs),
             )
             st["idx"] = idx
             continue
@@ -790,7 +1018,8 @@ def _trace_paths_compacted(scene: Scene, origins, dirs, uniforms, t: int,
 
 def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=True,
                 sort_key: str = "active", skip_dead: bool = False,
-                beam: bool = False, drain: bool = True, sort_bounces="auto"):
+                beam: bool = False, drain: bool = True, sort_bounces="auto",
+                pool_sun_walk: bool = False):
     """Trace a lane batch to completion; returns (B, 3) linear radiance.
 
     ``uniforms``: (B, n_bounces, N_UNIFORMS) pre-drawn uniform block (see
@@ -835,6 +1064,12 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
     either way) — skipping them was worth -7% headline fwd+bwd and won on
     every bench line (tools/PERF_NOTES.md r5).  ``None`` = every bounce;
     results are bit-identical under any schedule.
+
+    ``pool_sun_walk``: hoist the stateful sun shadow walk out of the tiled
+    shade into a whole-batch straggler-drained phase (``_pooled_sun_att`` /
+    ``_shadow_walk_drain`` — accept-state carried through restart-from-t).
+    Measured SLOWER than the per-tile walk on the cutout bench line and
+    kept opt-in as the recorded implementation (PERF_NOTES r5).
     """
     from ..octree.brick import BrickOctree
 
@@ -853,6 +1088,7 @@ def trace_paths(scene: Scene, origins, dirs, uniforms, tiles="auto", compact=Tru
         return _trace_paths_compacted(
             scene, origins, dirs, uniforms, t, sort_key, skip_dead, beam=beam,
             drain=drain, sort_bounces=sort_bounces,
+            pool_sun_walk=pool_sun_walk,
         )
     bt = b // t
     o = origins.reshape(t, bt, 3)
@@ -1055,13 +1291,18 @@ def _bounce(scene: Scene, st, u, is_first: bool, may_scatter: bool,
     return _shade(scene, st, u, res, is_first, may_scatter)
 
 
-def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
+def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool,
+           sun_att=None):
     """Shade one resolved traversal: sky on miss, lobe scatter on hit.
 
     Split from the trace so the branched estimator can reuse ONE primary
     traversal across its replicated continuations (``trace_paths_branched``).
     ``is_first``/``may_scatter`` are static per-unroll flags (bounce == 0 /
-    bounce + 1 < n_bounces)."""
+    bounce + 1 < n_bounces).
+
+    ``sun_att``: optional precomputed (B, 4) sun-NEE attenuation
+    (``_pooled_sun_att`` — the drain integrator's whole-batch drained
+    stateful walk); replaces the in-shade ``shadow_attenuation`` call."""
     from .hit import resolve_hit
 
     strat = scene.sun_sampling
@@ -1127,9 +1368,12 @@ def _shade(scene: Scene, st, u, res, is_first: bool, may_scatter: bool):
         )
         shadow_on = sc["do_diff"] & can_scatter & (front | sss)
         shadow_origin = jnp.where(front[:, None], hitpoint, hitpoint - OFFSET * n)
-        att = shadow_attenuation(
-            scene, shadow_origin, sun_dir, st["cur_mat"], active=shadow_on
-        )
+        if sun_att is not None:
+            att = sun_att
+        else:
+            att = shadow_attenuation(
+                scene, shadow_origin, sun_dir, st["cur_mat"], active=shadow_on
+            )
         lum = scene.sun.luminosity_pdf if strat.sun_luminosity else 1.0
         mult = jnp.abs(jnp.sum(sun_dir * n, axis=-1)) * lum * att[:, 3]
         direct = att[:, :3] * mult[:, None]

@@ -147,3 +147,39 @@ def test_sort_schedule_bit_identity():
             trace_paths(scene, o, d, u, tiles=4, sort_bounces=sb)
         )
         np.testing.assert_array_equal(out, ref, err_msg=str(sb))
+
+
+def test_pooled_drained_sun_walk_bit_identical():
+    """The pooled drained stateful sun walk (r5 ``pool_sun_walk=True`` —
+    accept-state carried through restart-from-t, t_last re-record guard)
+    must equal the per-tile walk bit-for-bit, including under a tiny
+    phase-1 cap that forces many walk-drain rounds with partially-recorded
+    surface lists."""
+    from octree_pathtracing_tpu.models import cutout_chunk_scene
+
+    scene, cam = cutout_chunk_scene(depth=4)
+    scene = dataclasses.replace(scene, sun_sampling=SunSampling.high_quality())
+    origins, dirs = pixel_grid_rays(cam, 8, 8)
+    u = draw_uniforms(jax.random.PRNGKey(41), origins.shape[0], n_bounces=3)
+    ref = np.asarray(trace_paths(scene, origins, dirs, u, tiles=4, drain=True))
+    pooled = np.asarray(
+        trace_paths(scene, origins, dirs, u, tiles=4, drain=True,
+                    pool_sun_walk=True)
+    )
+    np.testing.assert_array_equal(pooled, ref)
+    old = pt.DRAIN_K1_SCHEDULE
+    old_steps = pt.DRAIN_STEPS
+    try:
+        pt.DRAIN_K1_SCHEDULE = (6, 6, 6, 6, 6)
+        # DRAIN_STEPS also caps the WALK's phase 1 (runtime lookup): 2
+        # forces every nontrivial walk through resume rounds with a
+        # partially-recorded state and the t_last guard live
+        pt.DRAIN_STEPS = 2
+        tiny = np.asarray(
+            trace_paths(scene, origins, dirs, u, tiles=4, drain=True,
+                        pool_sun_walk=True)
+        )
+    finally:
+        pt.DRAIN_K1_SCHEDULE = old
+        pt.DRAIN_STEPS = old_steps
+    np.testing.assert_array_equal(tiny, ref)
